@@ -1,0 +1,105 @@
+"""Batched Poseidon permutation over BN254 Fr (circomlib-compatible).
+
+This is hot kernel #1 of the witness engine (SURVEY.md §2.2): RollupTx uses
+4 direct Poseidon(4) state hashes + ~2 per SMT level + Poseidon(6) per
+DecodeTx + Poseidon(5) inside EdDSA.
+
+Layout: state is (16, t, B) — limb axis leading (the fr convention), t the
+Poseidon width, B the witness-lane batch. Rounds run under ``lax.scan`` so
+the trace stays small; all round constants / MDS entries live on device in
+Montgomery form.
+
+Replicates circomlib 0.5.x `Poseidon(nInputs)` semantics
+(reference usage: /root/reference/src/lib/hash-state.circom:1,
+ src/decode-tx.circom:1): state=[0, inputs...], per round ark->sbox->mix,
+output state[0].
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import fr
+from ..field.scalar import P, R as MONT_R, N_LIMBS, to_limbs
+from .poseidon_constants import constants, N_ROUNDS_F, N_ROUNDS_P
+
+
+def _limbs_mont(x: int) -> np.ndarray:
+    return np.array(to_limbs((x * MONT_R) % P), dtype=np.uint32)
+
+
+@lru_cache(maxsize=None)
+def _device_constants(t: int):
+    C, M = constants(t)
+    rf, rp = N_ROUNDS_F, N_ROUNDS_P[t - 2]
+    nrounds = rf + rp
+    Cm = np.zeros((nrounds, N_LIMBS, t, 1), dtype=np.uint32)
+    for r in range(nrounds):
+        for i in range(t):
+            Cm[r, :, i, 0] = _limbs_mont(C[r * t + i])
+    Mm = np.zeros((N_LIMBS, t, t, 1), dtype=np.uint32)
+    for i in range(t):
+        for j in range(t):
+            Mm[:, i, j, 0] = _limbs_mont(M[i][j])
+    half = rf // 2
+    # NOTE: return plain numpy — jnp constants materialized inside a jit
+    # trace would leak tracers through the lru_cache.
+    return (Cm[:half], Cm[half:half + rp], Cm[half + rp:], Mm)
+
+
+def _pow5(x):
+    x2 = fr.mont_mul(x, x)
+    x4 = fr.mont_mul(x2, x2)
+    return fr.mont_mul(x4, x)
+
+
+def _mix(state, Mm, t):
+    # new[i] = sum_j M[i][j] * state[j]
+    prod = fr.mont_mul(Mm, state[:, None])  # (16, t_out, t_in, B)
+    return fr.sum_list([prod[:, :, j] for j in range(t)])
+
+
+def permute_mont(state_m: jnp.ndarray) -> jnp.ndarray:
+    """Full Poseidon permutation; state (16, t, B) in Montgomery form."""
+    t = state_m.shape[1]
+    C_first, C_part, C_last, Mm = _device_constants(t)
+
+    def full_round(state, Cr):
+        state = fr.add(state, Cr)
+        state = _pow5(state)
+        return _mix(state, Mm, t), None
+
+    def partial_round(state, Cr):
+        state = fr.add(state, Cr)
+        s0 = _pow5(state[:, 0:1])
+        state = jnp.concatenate([s0, state[:, 1:]], axis=1)
+        return _mix(state, Mm, t), None
+
+    state_m, _ = jax.lax.scan(full_round, state_m, C_first)
+    state_m, _ = jax.lax.scan(partial_round, state_m, C_part)
+    state_m, _ = jax.lax.scan(full_round, state_m, C_last)
+    return state_m
+
+
+def poseidon(inputs: list[jnp.ndarray]) -> jnp.ndarray:
+    """Poseidon hash of n canonical (16, *batch) elements -> (16, *batch).
+
+    Equivalent to circomlib `Poseidon(n)` (out signal)."""
+    n = len(inputs)
+    t = n + 1
+    bshape = jnp.broadcast_shapes(*[x.shape[1:] for x in inputs])
+    flat = [jnp.broadcast_to(x, (N_LIMBS,) + bshape).reshape(N_LIMBS, -1)
+            for x in inputs]
+    zero = jnp.zeros_like(flat[0])
+    state = jnp.stack([zero] + flat, axis=1)  # (16, t, B)
+    state = fr.to_mont(state)
+    state = permute_mont(state)
+    out = fr.from_mont(state[:, 0])
+    return out.reshape((N_LIMBS,) + bshape)
+
+
+jposeidon = jax.jit(poseidon)

@@ -1,0 +1,86 @@
+"""Small batched gadget kernels: float40 decode, fee computation, ranges.
+
+These replicate the reference's library gadgets as array programs:
+  * DecodeFloatBin  — src/lib/decode-float.circom:12-44
+  * ComputeFee      — src/compute-fee.circom:12-94 (+ feeShiftTable)
+  * Num2Bits range semantics (a `bits_le` plus an explicit width check,
+    the algebraic equivalent of circom's bit-decomposition constraints)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import fr
+from ..field.scalar import P, N_LIMBS, to_limbs
+from ..builder.fee_table import TABLE_ADJUSTED_FEE, BITS_SHIFT
+
+
+def fits_bits(a: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """(batch,) bool: a < 2^nbits (canonical input). The residual form of
+    circom's Num2Bits(n) padding constraints."""
+    if nbits >= 254:
+        return jnp.ones(a.shape[1:], dtype=bool)
+    return ~fr.geq_const(a, 1 << nbits)
+
+
+def decode_float_bin(bits40: jnp.ndarray) -> jnp.ndarray:
+    """float40 bits (40, *batch) -> value (16, *batch).
+    out = mantissa(bits 0..34) * 10^exponent(bits 35..39), with the 10^e
+    computed by 5 conditional multiplies exactly like the circuit's pe[]
+    chain (src/lib/decode-float.circom:29-34)."""
+    m = fr.from_bits_le(bits40[:35])
+    scale = fr.const(1, bits40.shape[1:])
+    scale = jnp.broadcast_to(scale, m.shape)
+    for i in range(5):
+        mult = fr.const(10 ** (2 ** i), bits40.shape[1:])
+        scaled = fr.mul(scale, jnp.broadcast_to(mult, m.shape))
+        scale = fr.select(bits40[35 + i], scaled, scale)
+    return fr.mul(m, scale)
+
+
+def decode_float(amount_f: jnp.ndarray):
+    """float40 field value -> (value, ok): ok checks amountF < 2^40."""
+    ok = fits_bits(amount_f, 40)
+    bits = fr.bits_le(amount_f, 40)
+    return decode_float_bin(bits), ok
+
+
+_FEE_TABLE_NP = np.zeros((256, N_LIMBS), dtype=np.uint32)
+for _i, _v in enumerate(TABLE_ADJUSTED_FEE):
+    _FEE_TABLE_NP[_i] = np.array(to_limbs(_v), dtype=np.uint32)
+
+
+def compute_fee(fee_sel: jnp.ndarray, amount: jnp.ndarray,
+                apply_fee: jnp.ndarray):
+    """Batched ComputeFee.
+
+    fee_sel: (batch,) uint32 (0..255); amount canonical (16, batch);
+    apply_fee: (batch,) bool/0-1.
+    Returns (fee_out, ok) — ok covers the 128-bit overflow constraints
+    (src/compute-fee.circom:86-88)."""
+    apply_b = apply_fee.astype(jnp.bool_)
+    sel_eff = jnp.where(apply_b, fee_sel.astype(jnp.uint32), 0)
+    factor = jnp.asarray(_FEE_TABLE_NP)[sel_eff]  # (batch, 16)
+    factor = jnp.moveaxis(factor, -1, 0)  # (16, batch)
+    fee_not_shifted = fr.mul(factor, amount)
+    # applyShift = 1 - bit6*bit7 of the raw selector
+    b6 = (fee_sel >> 6) & 1
+    b7 = (fee_sel >> 7) & 1
+    apply_shift = ~((b6 & b7).astype(jnp.bool_))
+    bits = fr.bits_le(fee_not_shifted, 253)
+    lc_shifted = fr.from_bits_le(bits[BITS_SHIFT:BITS_SHIFT + 128])
+    lc_not_shifted = fr.from_bits_le(bits[:128])
+    ov_shifted = jnp.any(bits[BITS_SHIFT + 128:253].astype(bool), axis=0)
+    ov_not_shifted = jnp.any(bits[128:253].astype(bool), axis=0)
+    fee_out = fr.select(apply_shift, lc_shifted, lc_not_shifted)
+    ok = jnp.where(apply_shift, ~ov_shifted, ~ov_not_shifted)
+    # the 253-bit decomposition itself must be faithful
+    ok = ok & fits_bits(fee_not_shifted, 253)
+    return fee_out, ok
+
+
+jdecode_float = jax.jit(decode_float)
+jcompute_fee = jax.jit(compute_fee)

@@ -5,7 +5,10 @@ Must run before jax is imported anywhere (pytest imports conftest first).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the session environment may point JAX at the remote TPU
+# tunnel (JAX_PLATFORMS=axon); unit tests must run on a local 8-device
+# virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

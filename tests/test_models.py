@@ -1,0 +1,295 @@
+"""Unit tests for the circuit-template models (decision table, balance
+updater, fee accumulator, rq verifier, decode) against the reference
+circuits' documented behavior (cited per test)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from circuits_tpu.field import fr
+from circuits_tpu.models.tx_states import rollup_tx_states
+from circuits_tpu.models.balance_updater import balance_updater
+from circuits_tpu.models.fee_accumulator import fee_accumulator
+from circuits_tpu.models.rq_tx_verifier import rq_tx_verifier
+from circuits_tpu.builder.fee_table import compute_fee as fee_oracle
+from circuits_tpu.builder import tx_utils, float40
+
+
+def F(vals):
+    return fr.pack(list(vals))
+
+
+def flags(vals):
+    return jnp.asarray(np.array(vals, dtype=np.uint32))
+
+
+# ---------------------------------------------------------------------------
+# RollupTxStates — the 11 tx types (rollup-tx-states.circom:41-54)
+# ---------------------------------------------------------------------------
+
+
+def test_tx_states_decision_table():
+    ANY = (1 << 160) - 1
+    # per-row: (name, inputs dict, expected outputs dict)
+    rows = [
+        ("createAccount",
+         dict(fromIdx=0, toIdx=0, toEthAddr=0, auxFromIdx=260, auxToIdx=0,
+              amount=0, newExit=0, loadAmount=0, newAccount=1, onChain=1),
+         dict(isP1Insert=1, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=260, p1=(1, 0))),
+        ("createAccountDeposit",
+         dict(fromIdx=0, toIdx=0, toEthAddr=0, auxFromIdx=260, auxToIdx=0,
+              amount=0, newExit=0, loadAmount=500, newAccount=1, onChain=1),
+         dict(isP1Insert=1, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=260, p1=(1, 0))),
+        ("deposit",
+         dict(fromIdx=256, toIdx=0, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
+              amount=0, newExit=0, loadAmount=500, newAccount=0, onChain=1),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=256, p1=(0, 1))),
+        ("forceExit",
+         dict(fromIdx=256, toIdx=1, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
+              amount=100, newExit=1, loadAmount=0, newAccount=0, onChain=1),
+         dict(isP1Insert=0, isP2Insert=1, isExit=1, verifySign=0, nop=0,
+              key1=256, key2=256, p1=(0, 1), p2=(1, 0))),
+        ("transfer",
+         dict(fromIdx=256, toIdx=257, toEthAddr=0, auxFromIdx=0,
+              auxToIdx=0, amount=100, newExit=0, loadAmount=0,
+              newAccount=0, onChain=0),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=1, nop=0,
+              key1=256, key2=257, p1=(0, 1), p2=(0, 1))),
+        ("exit",
+         dict(fromIdx=256, toIdx=1, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
+              amount=100, newExit=1, loadAmount=0, newAccount=0, onChain=0),
+         dict(isP1Insert=0, isP2Insert=1, isExit=1, verifySign=1, nop=0,
+              key1=256, key2=256, p1=(0, 1), p2=(1, 0))),
+        ("transferToEthAddr",
+         dict(fromIdx=256, toIdx=0, toEthAddr=0x1234, auxFromIdx=0,
+              auxToIdx=257, amount=100, newExit=0, loadAmount=0,
+              newAccount=0, onChain=0),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=1, nop=0,
+              key1=256, key2=257, checkToEthAddr=1, checkToBjj=0)),
+        ("transferToBjj",
+         dict(fromIdx=256, toIdx=0, toEthAddr=ANY, auxFromIdx=0,
+              auxToIdx=257, amount=100, newExit=0, loadAmount=0,
+              newAccount=0, onChain=0),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=1, nop=0,
+              key1=256, key2=257, checkToEthAddr=0, checkToBjj=1)),
+        ("nop",
+         dict(fromIdx=0, toIdx=0, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
+              amount=0, newExit=0, loadAmount=0, newAccount=0, onChain=0),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=0, nop=1,
+              key1=0, p1=(0, 0), p2=(0, 0))),
+    ]
+    ins = {k: F([r[1][k] for r in rows]) for k in
+           ["fromIdx", "toIdx", "toEthAddr", "auxFromIdx", "auxToIdx",
+            "amount", "loadAmount"]}
+    fl = {k: flags([r[1][k] for r in rows]) for k in
+          ["newExit", "newAccount", "onChain"]}
+    out, ok = rollup_tx_states(
+        ins["fromIdx"], ins["toIdx"], ins["toEthAddr"], ins["auxFromIdx"],
+        ins["auxToIdx"], ins["amount"], fl["newExit"], ins["loadAmount"],
+        fl["newAccount"], fl["onChain"],
+        F([0] * len(rows)), F([0] * len(rows)),
+        F([1] * len(rows)), F([1] * len(rows)), F([1] * len(rows)))
+    assert bool(np.all(np.asarray(ok)))
+    key1 = fr.unpack_np(np.asarray(out["key1"]))
+    key2 = fr.unpack_np(np.asarray(out["key2"]))
+    for i, (name, _inp, exp) in enumerate(rows):
+        assert bool(np.asarray(out["is_p1_insert"])[i]) == bool(
+            exp["isP1Insert"]), name
+        assert bool(np.asarray(out["is_p2_insert"])[i]) == bool(
+            exp["isP2Insert"]), name
+        assert bool(np.asarray(out["is_exit"])[i]) == bool(
+            exp["isExit"]), name
+        assert bool(np.asarray(out["verify_sign_enabled"])[i]) == bool(
+            exp["verifySign"]), name
+        assert bool(np.asarray(out["nop"])[i]) == bool(exp["nop"]), name
+        if "key1" in exp:
+            assert int(key1[i]) == exp["key1"], name
+        if "key2" in exp:
+            assert int(key2[i]) == exp["key2"], name
+        if "p1" in exp:
+            assert (bool(np.asarray(out["p1_fnc0"])[i]),
+                    bool(np.asarray(out["p1_fnc1"])[i])) == \
+                tuple(map(bool, exp["p1"])), name
+        if "checkToEthAddr" in exp:
+            assert bool(np.asarray(out["check_to_eth_addr"])[i]) == bool(
+                exp["checkToEthAddr"]), name
+            assert bool(np.asarray(out["check_to_bjj"])[i]) == bool(
+                exp["checkToBjj"]), name
+
+
+def test_tx_states_l2_loadamount_fails():
+    out, ok = rollup_tx_states(
+        F([256]), F([257]), F([0]), F([0]), F([0]), F([10]), flags([0]),
+        F([5]), flags([0]), flags([0]), F([0]), F([0]), F([1]), F([1]),
+        F([1]))
+    assert not bool(np.asarray(ok)[0])
+
+
+# ---------------------------------------------------------------------------
+# BalanceUpdater (balance-updater.circom:24-113)
+# ---------------------------------------------------------------------------
+
+
+def _run_bal(bal1, bal2, amount, load, fee_sel, on_chain, nop=0,
+             nul_load=0, nul_amt=0):
+    out, ok = balance_updater(
+        F([bal1]), F([bal2]), F([amount]), F([load]),
+        flags([fee_sel]), flags([on_chain]), flags([nop]),
+        flags([nul_load]), flags([nul_amt]))
+    res = {k: (int(fr.unpack_np(np.asarray(v))[0])
+               if v.ndim == 2 else bool(np.asarray(v)[0]))
+           for k, v in out.items()}
+    return res, bool(np.asarray(ok)[0])
+
+
+def test_balance_updater_l2_transfer_with_fee():
+    # fee selector 126 ~ 10%: factor table entry applies >>60
+    amount = 1000
+    fee = fee_oracle(amount, 126)
+    res, ok = _run_bal(5000, 300, amount, 0, 126, on_chain=0)
+    assert ok
+    assert res["new_balance_sender"] == 5000 - amount - fee
+    assert res["new_balance_receiver"] == 300 + amount
+    assert res["fee2_charge"] == fee
+
+
+def test_balance_updater_l1_deposit():
+    res, ok = _run_bal(100, 0, 0, 700, 200, on_chain=1)
+    assert ok
+    assert res["new_balance_sender"] == 800
+    assert res["fee2_charge"] == 0  # no fee on L1 (:53)
+
+
+def test_balance_updater_l2_underflow_fails():
+    res, ok = _run_bal(50, 0, 100, 0, 0, on_chain=0)
+    assert not ok
+
+
+def test_balance_updater_l1_underflow_degrades():
+    # L1 underflow: amount processed as 0 (:85-86)
+    res, ok = _run_bal(50, 10, 100, 0, 0, on_chain=1)
+    assert ok
+    assert res["new_balance_sender"] == 50
+    assert res["new_balance_receiver"] == 10
+    assert res["is_amount_nullified"]
+
+
+def test_balance_updater_nullify():
+    res, ok = _run_bal(500, 10, 100, 200, 0, on_chain=1, nul_load=1,
+                       nul_amt=1)
+    assert ok
+    assert res["new_balance_sender"] == 500
+    assert res["new_balance_receiver"] == 10
+    assert res["is_amount_nullified"]
+    assert res["is_p2_nop"]  # amount != 0 -> processor 2 still active
+
+
+# ---------------------------------------------------------------------------
+# FeeAccumulator — reference vectors (test/fee-accumulator.test.js:27-113)
+# ---------------------------------------------------------------------------
+
+FEE_VECTORS = [
+    (110, 1000, list(range(101, 117)), [1001 + i for i in range(16)],
+     [1001, 1002, 1003, 1004, 1005, 1006, 1007, 1008, 1009, 2010, 1011,
+      1012, 1013, 1014, 1015, 1016]),
+    (103, 1000, [101, 102, 103, 103, 105, 106, 107, 108, 109, 110, 111,
+                 112, 113, 114, 115, 103],
+     [1001 + i for i in range(16)],
+     [1001, 1002, 2003, 1004, 1005, 1006, 1007, 1008, 1009, 1010, 1011,
+      1012, 1013, 1014, 1015, 1016]),
+    (0, 1000, [101, 102, 103, 103, 105, 106, 107, 108, 109, 110, 111, 112,
+               113, 114, 115, 103],
+     [1001 + i for i in range(16)], [1001 + i for i in range(16)]),
+    (0, 3000, [5, 4, 3, 2, 1, 0, 6, 7, 8, 0, 0, 0, 0, 0, 0, 0],
+     [1001 + i for i in range(16)],
+     [1001, 1002, 1003, 1004, 1005, 4006, 1007, 1008, 1009, 1010, 1011,
+      1012, 1013, 1014, 1015, 1016]),
+    (0, 1000, [0] * 16, [0] * 16, [1000] + [0] * 15),
+]
+
+
+def test_fee_accumulator_vectors():
+    for token, fee, plan, acc_in, expected in FEE_VECTORS:
+        plan_arr = jnp.stack([F([p]) for p in plan])     # (16slots,16,1)
+        acc_arr = jnp.stack([F([a]) for a in acc_in])
+        out = fee_accumulator(F([token]), F([fee]), plan_arr, acc_arr)
+        got = [int(fr.unpack_np(np.asarray(out[i]))[0])
+               for i in range(len(plan))]
+        assert got == expected, (token, fee)
+
+
+# ---------------------------------------------------------------------------
+# RqTxVerifier (rq-tx-verifier.circom:19-94)
+# ---------------------------------------------------------------------------
+
+
+def test_rq_tx_verifier():
+    fut = jnp.stack([F([11]), F([12]), F([13])])
+    past = jnp.stack([F([21]), F([22]), F([23]), F([24])])
+    zero = F([0])
+    # offset 0 selects constant 0
+    ok = rq_tx_verifier(fut, past, fut, past, fut, past,
+                        zero, zero, zero, flags([0]))
+    assert bool(np.asarray(ok)[0])
+    # offset 1..3 -> future[0..2]
+    for off, val in [(1, 11), (2, 12), (3, 13), (4, 24), (5, 23),
+                     (6, 22), (7, 21)]:
+        ok = rq_tx_verifier(fut, past, fut, past, fut, past,
+                            F([val]), F([val]), F([val]), flags([off]))
+        assert bool(np.asarray(ok)[0]), off
+        ok = rq_tx_verifier(fut, past, fut, past, fut, past,
+                            F([val + 1]), F([val]), F([val]), flags([off]))
+        assert not bool(np.asarray(ok)[0]), off
+
+
+# ---------------------------------------------------------------------------
+# DecodeTx vs host encodings (decode-tx.circom:44-369)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_tx_roundtrip():
+    from circuits_tpu.models.decode_tx import decode_tx
+
+    tx = dict(chainID=5, fromIdx=256, toIdx=257, tokenID=3, nonce=7,
+              userFee=126, toBjjSign=True, amount=1000)
+    cd = tx_utils.build_tx_compressed_data(tx)
+    amount_f = float40.fix2float(1000)
+    out, ok = decode_tx(
+        16,
+        flags([0]), F([cd]), F([0]), F([amount_f]), F([0x99]), F([7]),
+        F([0]), F([0]), F([0]), F([0]),
+        jnp.zeros((256, 1), dtype=jnp.uint32), F([0]),
+        F([5]), F([0]), flags([0]), flags([0]), F([0]), F([0]), F([300]))
+    assert bool(np.asarray(ok)[0])
+    get = lambda k: int(fr.unpack_np(np.asarray(out[k]))[0])
+    assert get("from_idx") == 256
+    assert get("to_idx") == 257
+    assert get("token_id") == 3
+    assert get("nonce") == 7
+    assert get("user_fee") == 126
+    assert bool(np.asarray(out["to_bjj_sign"])[0])
+    assert get("amount") == 1000
+    assert get("out_idx") == 300
+    v2 = tx_utils.build_tx_compressed_data_v2(tx)
+    assert get("tx_compressed_data_v2") == v2
+    # sigL2Hash matches the host oracle
+    sig_tx = dict(tx, toEthAddr=0x99, toBjjAy=7, maxNumBatch=0)
+    assert get("sig_l2_hash") == tx_utils.build_hash_sig(sig_tx)
+
+
+def test_decode_tx_l1_before_l2_ordering():
+    from circuits_tpu.models.decode_tx import decode_tx
+
+    cd = tx_utils.build_tx_compressed_data(dict(chainID=0))
+    # previous tx L2 (previousOnChain=0), current L1 -> constraint fails
+    out, ok = decode_tx(
+        16,
+        flags([0]), F([cd]), F([0]), F([0]), F([0]), F([0]),
+        F([0]), F([0]), F([0]), F([0]),
+        jnp.zeros((256, 1), dtype=jnp.uint32), F([0]),
+        F([0]), F([0]), flags([1]), flags([1]), F([256]), F([0]),
+        F([255]))
+    assert not bool(np.asarray(ok)[0])

@@ -116,6 +116,56 @@ class RollupDB:
                     siblings=list(res.siblings),
                     root=tree.root)
 
+    # ------------------------------------------------------------------
+    # checkpoint / resume (the consolidate()-granular persistence the
+    # reference keeps in-memory via SMTMemDB; SURVEY.md §5)
+    # ------------------------------------------------------------------
+
+    def save(self, path):
+        """Serialize DB state to JSON. Trees are not dumped: the iden3
+        compressed SMT root is canonical for a key->value set, so leaves
+        alone reconstruct identical roots on load."""
+        import json
+
+        data = dict(
+            chain_id=self.chain_id,
+            last_idx=self.last_idx,
+            last_batch=self.last_batch,
+            accounts={str(k): {kk: str(vv) for kk, vv in
+                               v.as_dict().items()}
+                      for k, v in self.accounts.items()},
+            exits={str(b): {str(k): {kk: str(vv) for kk, vv in
+                                     v.as_dict().items()}
+                            for k, v in accs.items()}
+                   for b, (_, accs) in self.exit_trees.items()},
+        )
+        with open(path, "w") as f:
+            json.dump(data, f)
+
+    @classmethod
+    def load(cls, path) -> "RollupDB":
+        import json
+
+        with open(path) as f:
+            data = json.load(f)
+        db = cls(chain_id=int(data["chain_id"]))
+        db.last_idx = int(data["last_idx"])
+        db.last_batch = int(data["last_batch"])
+        for k, st in data["accounts"].items():
+            acc = AccountState(**{kk: int(vv) for kk, vv in st.items()})
+            db.accounts[int(k)] = acc
+            db.state_tree.insert(int(k), acc.hash())
+        for b, accs in data["exits"].items():
+            tree = SMT()
+            accounts = {}
+            for k, st in accs.items():
+                acc = AccountState(**{kk: int(vv) for kk, vv in
+                                      st.items()})
+                accounts[int(k)] = acc
+                tree.insert(int(k), acc.hash())
+            db.exit_trees[int(b)] = (tree, accounts)
+        return db
+
 
 class BatchBuilder:
     """One batch: collects txs/tokens/fee-idxs, `build()` computes every

@@ -93,3 +93,56 @@ def sign_tx(tx: dict, prv: bytes) -> None:
     tx["s"] = sig["S"]
     tx["r8x"] = sig["R8"][0]
     tx["r8y"] = sig["R8"][1]
+
+
+# ---------------------------------------------------------------------------
+# Data-availability encoders (commonjs txUtils.encodeL1Tx / encodeL2Tx /
+# encodeL1TxFull; bit layouts from src/decode-tx.circom:214-247,285-324).
+# All return big-endian hex strings like the reference.
+# ---------------------------------------------------------------------------
+
+
+def _hex_bits(value: int, nbits: int) -> str:
+    return format(value & ((1 << nbits) - 1), f"0{nbits}b")
+
+
+def encode_l2_tx(tx: dict, n_levels: int) -> str:
+    """L1L2TxData of an L2 tx: fromIdx(nL) | finalToIdx(nL) | amountF(40)
+    | userFee(8)."""
+    amount_f = float40.fix2float(tx.get("amount", 0))
+    to_idx = tx.get("toIdx", 0) or tx.get("auxToIdx", 0)
+    bits = (_hex_bits(tx.get("fromIdx", 0), n_levels)
+            + _hex_bits(to_idx, n_levels)
+            + _hex_bits(amount_f, 40)
+            + _hex_bits(tx.get("userFee", 0), 8))
+    return format(int(bits, 2), f"0{(len(bits) + 3) // 4}x")
+
+
+def encode_l1_tx(tx: dict, n_levels: int) -> str:
+    """L1L2TxData of an L1 tx: fee bits zeroed; amountF encodes the
+    effective (possibly nullified) amount."""
+    eff = tx.get("effectiveAmount", tx.get("amount", 0))
+    amount_f = float40.fix2float(eff)
+    bits = (_hex_bits(tx.get("fromIdx", 0), n_levels)
+            + _hex_bits(tx.get("toIdx", 0), n_levels)
+            + _hex_bits(amount_f, 40)
+            + _hex_bits(0, 8))
+    return format(int(bits, 2), f"0{(len(bits) + 3) // 4}x")
+
+
+def encode_l1_tx_full(tx: dict, n_levels: int = 0) -> str:
+    """L1TxFullData (624 bits): fromEthAddr(160) | fromBjjCompressed(256)
+    | fromIdx(48) | loadAmountF(40) | amountF(40) | tokenID(32) |
+    toIdx(48)."""
+    amount_f = float40.fix2float(tx.get("amount", 0))
+    bjj = tx.get("fromBjjCompressed", 0)
+    if isinstance(bjj, str):
+        bjj = int.from_bytes(bytes.fromhex(bjj), "little")
+    bits = (_hex_bits(_addr_int(tx.get("fromEthAddr", 0)), 160)
+            + _hex_bits(int(bjj), 256)
+            + _hex_bits(tx.get("fromIdx", 0), 48)
+            + _hex_bits(tx.get("loadAmountF", 0), 40)
+            + _hex_bits(amount_f, 40)
+            + _hex_bits(tx.get("tokenID", 0), 32)
+            + _hex_bits(tx.get("toIdx", 0), 48))
+    return format(int(bits, 2), "0156x")

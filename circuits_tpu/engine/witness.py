@@ -144,6 +144,36 @@ class RollupEngine:
                 np.moveaxis(np.asarray(out["acc_fee_out"]), 1, 0))]
         return res
 
+    def trace(self, inp: dict) -> dict:
+        """Signal-level introspection (the printSignals equivalent,
+        reference test/helpers/helpers.js:168-173): returns per-lane
+        intermediate signals as host ints — decode outputs, per-lane
+        roots, fee accumulators, per-lane constraint verdicts."""
+        from functools import partial as _partial
+        from ..models.rollup_main import build_chains, rollup_main_lanes
+
+        n_tx, n_levels, max_l1_tx, max_fee_tx = self.params
+
+        if not hasattr(self, "_trace_fn"):
+            def fn(packed):
+                chains = build_chains(packed, n_tx, max_fee_tx)
+                lanes, lane_ok = rollup_main_lanes(
+                    packed, chains, n_tx, n_levels, max_fee_tx)
+                return lanes, lane_ok
+
+            self._trace_fn = jax.jit(fn)
+        lanes, lane_ok = self._trace_fn(self.pack(inp))
+        res = {"lane_ok": np.asarray(lane_ok).tolist()}
+        for k in ["out_idx", "new_state_root", "new_exit_root"]:
+            res[k] = [int(v) for v in fr.unpack_np(np.asarray(lanes[k]))]
+        res["is_amount_nullified"] = np.asarray(
+            lanes["is_amount_nullified"]).tolist()
+        acc = np.asarray(lanes["acc_fee_out"])  # (F, 16, T)
+        res["acc_fee_out"] = [
+            [int(v) for v in fr.unpack_np(acc[f])]
+            for f in range(acc.shape[0])]
+        return res
+
 
 class WithdrawEngine:
     """Monomorphized Withdraw(nLevels) witness engine, batched over

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from ..field import fr
 from ..ops.smt import processor as smt_processor
-from .rollup_tx import hash_state
+from .rollup_tx import hash_state_pair
 
 
 def fee_tx(
@@ -26,9 +26,10 @@ def fee_tx(
     # tokenID check (:53-56)
     ok = fr.eq(fee_plan_token, token_id) | fee_idx_zero
 
-    old_hash = hash_state(token_id, nonce, sign, balance, ay, eth_addr)
     new_balance = fr.add(acc_fee, balance)  # :91
-    new_hash = hash_state(token_id, nonce, sign, new_balance, ay, eth_addr)
+    old_hash, new_hash = hash_state_pair(
+        (token_id, nonce, sign, balance, ay, eth_addr),
+        (token_id, nonce, sign, new_balance, ay, eth_addr))
 
     new_root, p_ok = smt_processor(
         old_state_root, siblings, fee_idx, old_hash,

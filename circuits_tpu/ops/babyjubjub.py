@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from ..field import fr
 from ..field.scalar import P, R as MONT_R, N_LIMBS, to_limbs
-from ..builder.babyjub import A as BJJ_A, D as BJJ_D, BASE8, add_point
+from ..builder.babyjub import (A as BJJ_A, D as BJJ_D, BASE8, IDENTITY,
+                               add_point)
 from .poseidon import poseidon
 
 
@@ -47,22 +48,42 @@ def from_affine_mont(x_m, y_m):
     return (x_m, y_m, one)
 
 
+def _mm_batch(pairs):
+    """One mont_mul over the concatenated batch of several independent
+    (a, b) multiplies — curve-add bodies inline into the scalar-mul loop
+    bodies, so fewer+wider multiplies cut both compile time and per-lane
+    launch overhead."""
+    n = len(pairs)
+    bshape = jnp.broadcast_shapes(
+        *[p[i].shape[1:] for p in pairs for i in (0, 1)])
+    shape = (pairs[0][0].shape[0],) + bshape
+    a = jnp.concatenate(
+        [jnp.broadcast_to(p[0], shape).reshape(shape[0], -1)
+         for p in pairs], axis=-1)
+    b = jnp.concatenate(
+        [jnp.broadcast_to(p[1], shape).reshape(shape[0], -1)
+         for p in pairs], axis=-1)
+    r = fr.mont_mul(a, b)
+    sz = r.shape[-1] // n
+    return [r[:, i * sz:(i + 1) * sz].reshape(shape) for i in range(n)]
+
+
 def padd(p1, p2):
-    """Unified projective twisted-Edwards addition (add-2008-bbjlp)."""
+    """Unified projective twisted-Edwards addition (add-2008-bbjlp),
+    restructured into 5 batched mont_mul stages (4+2+2+3+2 lanes)."""
     x1, y1, z1 = p1
     x2, y2, z2 = p2
-    mm = fr.mont_mul
-    a = mm(z1, z2)
-    b = mm(a, a)
-    c = mm(x1, x2)
-    d = mm(y1, y2)
-    e = mm(_mc(BJJ_D, x1.ndim), mm(c, d))
-    f = fr.sub(b, e)
-    g = fr.add(b, e)
-    t = mm(fr.add(x1, y1), fr.add(x2, y2))
-    x3 = mm(mm(a, f), fr.sub(fr.sub(t, c), d))
-    y3 = mm(mm(a, g), fr.sub(d, mm(_mc(BJJ_A, x1.ndim), c)))
-    z3 = mm(f, g)
+    a, c, d, t = _mm_batch([(z1, z2), (x1, x2), (y1, y2),
+                            (fr.add(x1, y1), fr.add(x2, y2))])
+    bb, cd = _mm_batch([(a, a), (c, d)])
+    e, ac = _mm_batch([(_mc(BJJ_D, x1.ndim), cd),
+                       (_mc(BJJ_A, x1.ndim), c)])
+    f = fr.sub(bb, e)
+    g = fr.add(bb, e)
+    u = fr.sub(fr.sub(t, c), d)
+    v = fr.sub(d, ac)
+    af, ag, z3 = _mm_batch([(a, f), (a, g), (f, g)])
+    x3, y3 = _mm_batch([(af, u), (ag, v)])
     return (x3, y3, z3)
 
 
@@ -74,61 +95,103 @@ def pselect(cond, p1, p2):
     return tuple(fr.select(cond, u, v) for u, v in zip(p1, p2))
 
 
+_WINDOW = 4
+_NDIGITS = 256 // _WINDOW
+
+
+def _digits(bits):
+    """bits (nbits, *batch) 0/1 LSB-first -> (64, *batch) int32 radix-16
+    digits, least-significant digit first."""
+    nbits = bits.shape[0]
+    bshape = bits.shape[1:]
+    b = bits.astype(jnp.int32)
+    if nbits < 256:
+        b = jnp.concatenate(
+            [b, jnp.zeros((256 - nbits,) + bshape, jnp.int32)], axis=0)
+    grouped = b.reshape((_NDIGITS, _WINDOW) + bshape)
+    weights = jnp.asarray(
+        (1 << np.arange(_WINDOW, dtype=np.int32))
+        .reshape((1, _WINDOW) + (1,) * len(bshape)))
+    return jnp.sum(grouped * weights, axis=1)
+
+
 def scalar_mul_var(bits, point):
     """Variable-base scalar multiply: bits (nbits, *batch) 0/1 LSB-first,
-    point projective Montgomery. Masked double-and-add ladder."""
-    nbits = bits.shape[0]
-    acc = identity(bits.shape[1:])
-    bits_dev = bits.astype(jnp.uint32)
+    point projective Montgomery. Windowed (w=4): build the 16-entry
+    multiples table at runtime (15 adds), then scan 64 digits MSB-first
+    with 4 doublings + 1 table-gather add per digit — ~1.6x fewer curve
+    adds than a bit-serial ladder, and every lane always does identical
+    work (no divergence to mask)."""
+    bshape = bits.shape[1:]
+    digits = _digits(bits)  # (64, *batch), LSB-first
 
-    def body(i, carry):
-        acc, base = carry
-        bit = bits_dev[i]
-        added = padd(acc, base)
-        acc = pselect(bit, added, acc)
-        base = pdouble(base)
-        return (acc, base)
+    # runtime table T[d] = d * point (d = 0..15), built with a scan so the
+    # add compiles once
+    def tab_body(prev, _):
+        nxt = padd(prev, point)
+        return nxt, prev
 
-    acc, _ = jax.lax.fori_loop(0, nbits, body, (acc, point))
+    _, rows = jax.lax.scan(tab_body, identity(bshape), None, length=16)
+    # rows[c]: (16entries, 16limbs, *batch) -> (16limbs, 16entries, *batch)
+    tab = tuple(jnp.moveaxis(rows[c], 0, 1) for c in range(3))
+
+    def gather(digit):
+        idx = digit[None, None]  # (1, 1, *batch)
+        return tuple(
+            jnp.take_along_axis(tc, idx, axis=1)[:, 0] for tc in tab)
+
+    def body(acc, digit):
+        for _ in range(_WINDOW):
+            acc = pdouble(acc)
+        acc = padd(acc, gather(digit))
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, identity(bshape),
+                          jnp.flip(digits, axis=0))
     return acc
+
+
+_BASE8_WTABLE: np.ndarray | None = None
+
+
+def _base8_window_table() -> np.ndarray:
+    """Host-precomputed affine table: TAB[j][d] = d * 16^j * BASE8,
+    Montgomery form, shape (64, 16, 2, 16limbs). d=0 row stores the
+    affine identity (0, 1)."""
+    global _BASE8_WTABLE
+    if _BASE8_WTABLE is None:
+        tab = np.zeros((_NDIGITS, 16, 2, N_LIMBS), dtype=np.uint32)
+        base = BASE8
+        for j in range(_NDIGITS):
+            pt = IDENTITY
+            for d in range(16):
+                tab[j, d, 0] = _mont_np(pt[0])
+                tab[j, d, 1] = _mont_np(pt[1])
+                pt = add_point(pt, base)
+            for _ in range(_WINDOW):
+                base = add_point(base, base)
+        _BASE8_WTABLE = tab
+    return _BASE8_WTABLE
 
 
 def scalar_mul_base8(bits):
-    """Fixed-base multiply by BASE8 using host-precomputed 2^i*B8 affine
-    points (mixed addition via scan over bit rows)."""
-    nbits = bits.shape[0]
-    tab = _base8_table(nbits)  # numpy (nbits, 2, 16)
+    """Fixed-base multiply by BASE8: host-precomputed comb table (one
+    16-entry window per radix-16 digit), 64 mixed additions total — no
+    doublings at all on device."""
     bshape = bits.shape[1:]
-    acc = identity(bshape)
-    xs = (bits.astype(jnp.uint32),
-          jnp.asarray(tab[:, 0].reshape(nbits, N_LIMBS, *([1] * len(bshape)))),
-          jnp.asarray(tab[:, 1].reshape(nbits, N_LIMBS, *([1] * len(bshape)))))
+    digits = _digits(bits)  # (64, *batch) LSB-first
+    tab = jnp.asarray(_base8_window_table())  # (64, 16, 2, 16)
 
-    def body(acc, x):
-        bit, px, py = x
-        added = padd(acc, from_affine_mont(
-            jnp.broadcast_to(px, (N_LIMBS,) + bshape),
-            jnp.broadcast_to(py, (N_LIMBS,) + bshape)))
-        acc = pselect(bit, added, acc)
+    def body(acc, xs):
+        tab_j, digit = xs  # (16, 2, 16limbs), (*batch,)
+        pt = jnp.take(tab_j, digit, axis=0)  # (*batch, 2, 16limbs)
+        px = jnp.moveaxis(pt[..., 0, :], -1, 0)  # (16, *batch)
+        py = jnp.moveaxis(pt[..., 1, :], -1, 0)
+        acc = padd(acc, from_affine_mont(px, py))
         return acc, None
 
-    acc, _ = jax.lax.scan(body, acc, xs)
+    acc, _ = jax.lax.scan(body, identity(bshape), (tab, digits))
     return acc
-
-
-_BASE8_TABLES: dict[int, np.ndarray] = {}
-
-
-def _base8_table(nbits: int) -> np.ndarray:
-    if nbits not in _BASE8_TABLES:
-        tab = np.zeros((nbits, 2, N_LIMBS), dtype=np.uint32)
-        pt = BASE8
-        for i in range(nbits):
-            tab[i, 0] = _mont_np(pt[0])
-            tab[i, 1] = _mont_np(pt[1])
-            pt = add_point(pt, pt)
-        _BASE8_TABLES[nbits] = tab
-    return _BASE8_TABLES[nbits]
 
 
 def points_equal(p1, p2):

@@ -3,6 +3,8 @@
 These replicate the reference's library gadgets as array programs:
   * DecodeFloatBin  — src/lib/decode-float.circom:12-44
   * ComputeFee      — src/compute-fee.circom:12-94 (+ feeShiftTable)
+  * Mux256          — src/lib/mux256.circom:10-52 (a gather on TPU)
+  * BitsCompressed2AySign — src/lib/utils-bjj.circom:12-28
   * Num2Bits range semantics (a `bits_le` plus an explicit width check,
     the algebraic equivalent of circom's bit-decomposition constraints)
 """
@@ -80,6 +82,28 @@ def compute_fee(fee_sel: jnp.ndarray, amount: jnp.ndarray,
     # the 253-bit decomposition itself must be faithful
     ok = ok & fits_bits(fee_not_shifted, 253)
     return fee_out, ok
+
+
+def mux256(sel: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """256-way select (src/lib/mux256.circom:10-52 builds this from 17
+    Mux4s; on TPU it is one gather). sel: (batch,) uint32 in 0..255;
+    table: (256, 16) uint32 limb rows (host constants) or
+    (256, 16, *batch). Returns (16, *batch)."""
+    if table.ndim == 2:
+        picked = jnp.take(table, sel.astype(jnp.int32), axis=0)
+        return jnp.moveaxis(picked, -1, 0)
+    idx = sel[None, None].astype(jnp.int32)
+    return jnp.take_along_axis(
+        jnp.moveaxis(table, 1, 0), idx, axis=1)[:, 0]
+
+
+def bits_compressed_to_ay_sign(bjj_bits: jnp.ndarray):
+    """BitsCompressed2AySign (src/lib/utils-bjj.circom:12-28): packed
+    point bits (256, *batch) -> (ay (16, *batch), sign (*batch,)).
+    No on-curve check (matching the reference's :7 note)."""
+    ay = fr.from_bits_le(bjj_bits[:254])
+    sign = bjj_bits[255].astype(jnp.bool_)
+    return ay, sign
 
 
 jdecode_float = jax.jit(decode_float)

@@ -46,9 +46,15 @@ def _device_constants(t: int):
         for j in range(t):
             Mm[:, i, j, 0] = _limbs_mont(M[i][j])
     half = rf // 2
+    # per-round full/partial mask: one scan over ALL rounds (a single
+    # compiled while-loop instead of three — compile time matters when
+    # poseidon nests inside the SMT level scan)
+    is_full = np.zeros((nrounds,), dtype=np.uint32)
+    is_full[:half] = 1
+    is_full[half + rp:] = 1
     # NOTE: return plain numpy — jnp constants materialized inside a jit
     # trace would leak tracers through the lru_cache.
-    return (Cm[:half], Cm[half:half + rp], Cm[half + rp:], Mm)
+    return (Cm, is_full, Mm)
 
 
 def _pow5(x):
@@ -64,24 +70,25 @@ def _mix(state, Mm, t):
 
 
 def permute_mont(state_m: jnp.ndarray) -> jnp.ndarray:
-    """Full Poseidon permutation; state (16, t, B) in Montgomery form."""
+    """Full Poseidon permutation; state (16, t, B) in Montgomery form.
+
+    One scan over all RF+RP rounds; partial rounds apply the S-box to
+    lane 0 only via a mask (the extra pow5 work on masked lanes is free
+    on the VPU — lanes are parallel — and keeps the compiled loop
+    singular)."""
     t = state_m.shape[1]
-    C_first, C_part, C_last, Mm = _device_constants(t)
+    Cm, is_full, Mm = _device_constants(t)
 
-    def full_round(state, Cr):
+    def round_fn(state, xs):
+        Cr, full = xs
         state = fr.add(state, Cr)
-        state = _pow5(state)
+        sboxed = _pow5(state)
+        keep_first = jnp.concatenate(
+            [sboxed[:, 0:1], state[:, 1:]], axis=1)
+        state = fr.select(full, sboxed, keep_first)
         return _mix(state, Mm, t), None
 
-    def partial_round(state, Cr):
-        state = fr.add(state, Cr)
-        s0 = _pow5(state[:, 0:1])
-        state = jnp.concatenate([s0, state[:, 1:]], axis=1)
-        return _mix(state, Mm, t), None
-
-    state_m, _ = jax.lax.scan(full_round, state_m, C_first)
-    state_m, _ = jax.lax.scan(partial_round, state_m, C_part)
-    state_m, _ = jax.lax.scan(full_round, state_m, C_last)
+    state_m, _ = jax.lax.scan(round_fn, state_m, (Cm, is_full))
     return state_m
 
 

@@ -72,21 +72,23 @@ def sha256_bits(bits: jnp.ndarray) -> jnp.ndarray:
     bshape = bits.shape[1:]
     nblocks = (nbits + 65 + 511) // 512
     total = nblocks * 512
-    # build padded word array: message bits + 1-bit + zeros + 64-bit length
-    pad = [jnp.zeros(bshape, dtype=jnp.uint32) for _ in range(total - nbits)]
-    one = jnp.ones(bshape, dtype=jnp.uint32)
-    pad[0] = one
-    lenbits = [(jnp.full(bshape, (nbits >> (63 - i)) & 1, dtype=jnp.uint32))
-               for i in range(64)]
-    pad[-64:] = lenbits
-    allbits = [bits[i] for i in range(nbits)] + pad
-    words = []
-    for wi in range(total // 32):
-        w = jnp.zeros(bshape, dtype=jnp.uint32)
-        for j in range(32):
-            w = w | (allbits[32 * wi + j].astype(jnp.uint32) << np.uint32(31 - j))
-        words.append(w)
-    warr = jnp.stack(words, axis=0).reshape((nblocks, 16) + bshape)
+    # padded bit array: message bits + 1-bit + zeros + 64-bit length
+    # (vectorized: one concatenate + one weighted reduction to words)
+    pad_np = np.zeros((total - nbits,) + (1,) * len(bshape),
+                      dtype=np.uint32)
+    pad_np[0] = 1
+    for i in range(64):
+        pad_np[-64 + i] = (nbits >> (63 - i)) & 1
+    allbits = jnp.concatenate(
+        [bits.astype(jnp.uint32),
+         jnp.broadcast_to(jnp.asarray(pad_np),
+                          (total - nbits,) + bshape)], axis=0)
+    weights = jnp.asarray(
+        (np.uint32(1) << np.arange(31, -1, -1, dtype=np.uint32))
+        .reshape((1, 32) + (1,) * len(bshape)))
+    grouped = allbits.reshape((total // 32, 32) + bshape)
+    words = jnp.sum(grouped * weights, axis=1, dtype=jnp.uint32)
+    warr = words.reshape((nblocks, 16) + bshape)
 
     h0 = tuple(jnp.full(bshape, v, dtype=jnp.uint32) for v in _H0)
 
@@ -94,11 +96,12 @@ def sha256_bits(bits: jnp.ndarray) -> jnp.ndarray:
         return _compress_block(h, w16), None
 
     hfin, _ = jax.lax.scan(body, h0, warr)
-    out = []
-    for word in hfin:
-        for j in range(32):
-            out.append((word >> np.uint32(31 - j)) & np.uint32(1))
-    return jnp.stack(out, axis=0)
+    hstack = jnp.stack(hfin, axis=0)  # (8, *batch)
+    shifts = jnp.asarray(
+        np.arange(31, -1, -1, dtype=np.uint32)
+        .reshape((1, 32) + (1,) * len(bshape)))
+    outbits = (hstack[:, None] >> shifts) & np.uint32(1)
+    return outbits.reshape((256,) + bshape)
 
 
 def digest_to_field(digest_bits: jnp.ndarray) -> jnp.ndarray:

@@ -69,7 +69,25 @@ def _mix(state, Mm, t):
     return fr.sum_list([prod[:, :, j] for j in range(t)])
 
 
-def permute_mont(state_m: jnp.ndarray) -> jnp.ndarray:
+def _backend() -> str:
+    """Poseidon backend: 'pallas' (TPU fused kernel), 'xla' (portable
+    scan), or 'interpret' (pallas interpreter, for CPU testing).
+    Resolved once from $CTPU_POSEIDON (auto -> pallas on TPU)."""
+    global _BACKEND
+    if _BACKEND is None:
+        import os
+        choice = os.environ.get("CTPU_POSEIDON", "auto")
+        if choice == "auto":
+            choice = ("pallas" if jax.default_backend() == "tpu"
+                      else "xla")
+        _BACKEND = choice
+    return _BACKEND
+
+
+_BACKEND = None
+
+
+def permute_mont_xla(state_m: jnp.ndarray) -> jnp.ndarray:
     """Full Poseidon permutation; state (16, t, B) in Montgomery form.
 
     One scan over all RF+RP rounds; partial rounds apply the S-box to
@@ -90,6 +108,14 @@ def permute_mont(state_m: jnp.ndarray) -> jnp.ndarray:
 
     state_m, _ = jax.lax.scan(round_fn, state_m, (Cm, is_full))
     return state_m
+
+
+def permute_mont(state_m: jnp.ndarray) -> jnp.ndarray:
+    be = _backend()
+    if be == "xla":
+        return permute_mont_xla(state_m)
+    from .pallas_poseidon import permute_mont as permute_pallas
+    return permute_pallas(state_m, interpret=(be == "interpret"))
 
 
 def poseidon(inputs: list[jnp.ndarray]) -> jnp.ndarray:

@@ -1,0 +1,57 @@
+"""On-TPU validation runner: `python -m tests.tpu_checks`.
+
+The pytest suite runs on a virtual CPU mesh (conftest.py); this script
+exercises the TPU-only fused kernels on the real chip and bit-compares
+them against the portable XLA paths.
+"""
+
+import time
+
+import numpy as np
+import jax
+
+from circuits_tpu.field import fr
+from circuits_tpu.field.scalar import P
+from circuits_tpu.ops import poseidon as pos
+
+
+def main():
+    assert jax.default_backend() == "tpu", (
+        f"need a TPU, got {jax.default_backend()}")
+    from circuits_tpu.ops.pallas_poseidon import permute_mont as pallas_pm
+
+    rng = np.random.default_rng(0)
+
+    def rnd():
+        return (int(rng.integers(0, 2**63)) * int(rng.integers(0, 2**63))
+                * int(rng.integers(0, 2**63))) % P
+
+    for t, b in [(3, 5), (4, 130), (5, 300), (6, 1024), (7, 2049)]:
+        st = fr.pack(np.array([[rnd() for _ in range(b)]
+                               for _ in range(t)], dtype=object))
+        stm = fr.to_mont(st)
+        ref = np.asarray(jax.jit(pos.permute_mont_xla)(stm))
+        got = np.asarray(pallas_pm(stm))
+        assert np.array_equal(ref, got), f"poseidon t={t} B={b} mismatch"
+        print(f"poseidon pallas t={t} B={b}: bit-exact vs XLA")
+
+    # throughput spot check
+    for t in (3, 5):
+        B = 65536
+        st = fr.pack(np.array([[rnd() for _ in range(64)] * (B // 64)
+                               for _ in range(t)], dtype=object))
+        stm = fr.to_mont(st)
+        jax.block_until_ready(pallas_pm(stm))
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            jax.block_until_ready(pallas_pm(stm))
+            ts.append(time.time() - t0)
+        best = min(ts)
+        print(f"poseidon pallas t={t}: {B/best/1e6:.3f} Mhash/s")
+
+    print("ALL TPU CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()

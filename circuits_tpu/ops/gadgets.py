@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..field import fr
-from ..field.scalar import P, N_LIMBS, to_limbs
+from ..field.scalar import P, R as MONT_R, N_LIMBS, to_limbs
 from ..builder.fee_table import TABLE_ADJUSTED_FEE, BITS_SHIFT
 
 
@@ -28,19 +28,27 @@ def fits_bits(a: jnp.ndarray, nbits: int) -> jnp.ndarray:
     return ~fr.geq_const(a, 1 << nbits)
 
 
+# 10^e for the 5-bit exponent, stored in R-form (x*R mod p) so a single
+# mont_mul against the canonical mantissa yields the canonical product.
+_POW10_R_NP = np.zeros((32, N_LIMBS), dtype=np.uint32)
+for _e in range(32):
+    _POW10_R_NP[_e] = np.array(
+        to_limbs((pow(10, _e, P) * MONT_R) % P), dtype=np.uint32)
+
+
 def decode_float_bin(bits40: jnp.ndarray) -> jnp.ndarray:
     """float40 bits (40, *batch) -> value (16, *batch).
-    out = mantissa(bits 0..34) * 10^exponent(bits 35..39), with the 10^e
-    computed by 5 conditional multiplies exactly like the circuit's pe[]
-    chain (src/lib/decode-float.circom:29-34)."""
+    out = mantissa(bits 0..34) * 10^exponent(bits 35..39). The circuit
+    builds 10^e from 5 conditional squarings for constraint economy
+    (src/lib/decode-float.circom:29-34); the witness value is identical
+    computed as one table gather + one Montgomery multiply (12x fewer
+    mont_mul call sites — XLA CPU compile cost scales with those)."""
     m = fr.from_bits_le(bits40[:35])
-    scale = fr.const(1, bits40.shape[1:])
-    scale = jnp.broadcast_to(scale, m.shape)
-    for i in range(5):
-        mult = fr.const(10 ** (2 ** i), bits40.shape[1:])
-        scaled = fr.mul(scale, jnp.broadcast_to(mult, m.shape))
-        scale = fr.select(bits40[35 + i], scaled, scale)
-    return fr.mul(m, scale)
+    e = (bits40[35] + 2 * bits40[36] + 4 * bits40[37] + 8 * bits40[38]
+         + 16 * bits40[39]).astype(jnp.int32)
+    scale_r = jnp.moveaxis(jnp.take(jnp.asarray(_POW10_R_NP), e, axis=0),
+                           -1, 0)  # (16, *batch)
+    return fr.mont_mul(m, scale_r)
 
 
 def decode_float(amount_f: jnp.ndarray):
@@ -50,9 +58,11 @@ def decode_float(amount_f: jnp.ndarray):
     return decode_float_bin(bits), ok
 
 
-_FEE_TABLE_NP = np.zeros((256, N_LIMBS), dtype=np.uint32)
+# fee factors in R-form: one mont_mul against the canonical amount
+_FEE_TABLE_R_NP = np.zeros((256, N_LIMBS), dtype=np.uint32)
 for _i, _v in enumerate(TABLE_ADJUSTED_FEE):
-    _FEE_TABLE_NP[_i] = np.array(to_limbs(_v), dtype=np.uint32)
+    _FEE_TABLE_R_NP[_i] = np.array(
+        to_limbs((_v * MONT_R) % P), dtype=np.uint32)
 
 
 def compute_fee(fee_sel: jnp.ndarray, amount: jnp.ndarray,
@@ -65,9 +75,9 @@ def compute_fee(fee_sel: jnp.ndarray, amount: jnp.ndarray,
     (src/compute-fee.circom:86-88)."""
     apply_b = apply_fee.astype(jnp.bool_)
     sel_eff = jnp.where(apply_b, fee_sel.astype(jnp.uint32), 0)
-    factor = jnp.asarray(_FEE_TABLE_NP)[sel_eff]  # (batch, 16)
-    factor = jnp.moveaxis(factor, -1, 0)  # (16, batch)
-    fee_not_shifted = fr.mul(factor, amount)
+    factor_r = jnp.asarray(_FEE_TABLE_R_NP)[sel_eff]  # (batch, 16)
+    factor_r = jnp.moveaxis(factor_r, -1, 0)  # (16, batch)
+    fee_not_shifted = fr.mont_mul(factor_r, amount)
     # applyShift = 1 - bit6*bit7 of the raw selector
     b6 = (fee_sel >> 6) & 1
     b7 = (fee_sel >> 7) & 1

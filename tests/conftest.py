@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from circuits_tpu.utils.compile_opts import enable_cpu_fast_compile  # noqa: E402
+
+enable_cpu_fast_compile()
+
 import jax  # noqa: E402
 
 # The axon sitecustomize imports jax at interpreter startup with

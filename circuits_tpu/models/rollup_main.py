@@ -69,6 +69,12 @@ def build_chains(inp: dict, n_tx: int, max_fee_tx: int) -> dict:
         prev_on_chain=jnp.concatenate(
             [jnp.ones((1,), dtype=jnp.bool_),
              inp["im_on_chain"].astype(jnp.bool_)]),
+        # lane i's im_onChain[i] (the value the decode-integrity check
+        # compares against); built host-side so the sharded path gets a
+        # clean per-lane array instead of a cross-shard shift
+        im_oc_next=jnp.concatenate(
+            [inp["im_on_chain"].astype(jnp.bool_),
+             jnp.zeros((1,), dtype=jnp.bool_)]),
         in_idx=cat([inp["old_last_idx"], inp["im_out_idx"]]),
         old_state_root=cat([inp["old_state_root"], inp["im_state_root"]]),
         old_exit_root=cat([zero1, inp["im_exit_root"]]),
@@ -88,12 +94,21 @@ def build_chains(inp: dict, n_tx: int, max_fee_tx: int) -> dict:
 
 
 def rollup_main_lanes(inp: dict, chains: dict, n_tx: int, n_levels: int,
-                      max_fee_tx: int):
+                      max_fee_tx: int, neighbors=None, last_mask=None):
     """Phases A–E for all tx lanes. Returns (lane outputs dict, per-lane
-    ok (T,))."""
-    # A - binary checks (:205-219)
+    ok (T,)).
+
+    `n_tx` is the width of the lane axis IN THIS CALL — the sharded path
+    passes the per-shard width plus `neighbors` (pre-sliced rq-link
+    window stacks, see `neighbor_windows`) and `last_mask` ((T,) bool,
+    True at the globally-last lane); single-chip callers omit both."""
+    # A - binary checks (:205-219): all boolean inputs must be 0/1 —
+    # non-binary flags flip the verdict instead of silently coercing
+    # (src/rollup-main.circom:206-218)
     bjj_bits = inp["from_bjj_compressed"]
     lane_ok = jnp.all(bjj_bits <= 1, axis=0)
+    for flag in ("on_chain", "new_account", "is_old0_1", "is_old0_2"):
+        lane_ok = lane_ok & (inp[flag] <= 1)
 
     # B - decode (:221-254)
     dec, dec_ok = decode_tx(
@@ -110,21 +125,22 @@ def rollup_main_lanes(inp: dict, chains: dict, n_tx: int, n_levels: int,
     lane_ok = lane_ok & dec_ok
 
     # C - decode integrity (:256-265)
-    last = jnp.arange(n_tx) == n_tx - 1
+    last = (jnp.arange(n_tx) == n_tx - 1) if last_mask is None else last_mask
     lane_ok = lane_ok & fr.eq(dec["tx_compressed_data_v2"],
                               inp["tx_compressed_data_v2"])
     on_chain_b = inp["on_chain"].astype(jnp.bool_)
-    im_oc = jnp.concatenate(
-        [chains["prev_on_chain"][1:], jnp.zeros((1,), dtype=jnp.bool_)])
-    lane_ok = lane_ok & ((on_chain_b == im_oc) | last)
+    lane_ok = lane_ok & ((on_chain_b == chains["im_oc_next"]) | last)
     lane_ok = lane_ok & (fr.eq(dec["out_idx"],
                                chains["expected_out_idx"]) | last)
 
     # D - rollup transactions (:267-379)
-    zero1 = fr.zeros((1,))
-    fut_v2, past_v2 = _neighbors(inp["tx_compressed_data_v2"], zero1)
-    fut_eth, past_eth = _neighbors(inp["to_eth_addr"], zero1)
-    fut_ay, past_ay = _neighbors(inp["to_bjj_ay"], zero1)
+    if neighbors is None:
+        zero1 = fr.zeros((1,))
+        fut_v2, past_v2 = _neighbors(inp["tx_compressed_data_v2"], zero1)
+        fut_eth, past_eth = _neighbors(inp["to_eth_addr"], zero1)
+        fut_ay, past_ay = _neighbors(inp["to_bjj_ay"], zero1)
+    else:
+        fut_v2, past_v2, fut_eth, past_eth, fut_ay, past_ay = neighbors
 
     fee_plan = jnp.broadcast_to(
         jnp.moveaxis(inp["fee_plan_tokens"], 1, 0)[:, :, None],
@@ -189,15 +205,11 @@ def rollup_main_lanes(inp: dict, chains: dict, n_tx: int, n_levels: int,
     return lanes, lane_ok
 
 
-def rollup_main(inp: dict, n_tx: int, n_levels: int, max_l1_tx: int,
-                max_fee_tx: int):
-    """Returns (outputs: dict with hash_global_inputs (16, 1) and the
-    final roots, ok: scalar bool)."""
-    chains = build_chains(inp, n_tx, max_fee_tx)
-    lanes, lane_ok = rollup_main_lanes(inp, chains, n_tx, n_levels,
-                                       max_fee_tx)
-    ok_all = jnp.all(lane_ok)
-
+def global_tail(inp: dict, lanes: dict, n_tx: int, n_levels: int,
+                max_l1_tx: int, max_fee_tx: int):
+    """Phases F–H: fee transactions, fee-chain integrity, global SHA256.
+    `lanes` must carry FULL-width (all-T-lane) arrays — the sharded path
+    all-gathers its shards before calling. Returns (outputs, ok)."""
     # F - fee transactions (:391-417), batched over the F slot axis
     fee_old_root = jnp.concatenate(
         [inp["im_init_state_root_fee"], inp["im_state_root_fee"]], axis=-1)
@@ -206,7 +218,7 @@ def rollup_main(inp: dict, n_tx: int, n_levels: int, max_l1_tx: int,
         inp["im_final_acc_fee"],
         inp["token_id3"], inp["nonce3"], inp["sign3"], inp["balance3"],
         inp["ay3"], inp["eth_addr3"], inp["siblings3"])
-    ok_all = ok_all & jnp.all(fee_ok)
+    ok_all = jnp.all(fee_ok)
 
     # G - fee im integrity (:419-424)
     ok_all = ok_all & jnp.all(
@@ -243,6 +255,21 @@ def rollup_main(inp: dict, n_tx: int, n_levels: int, max_l1_tx: int,
         acc_fee_out=lanes["acc_fee_out"][:, :, -1],
     )
     return outputs, ok_all
+
+
+def rollup_main(inp: dict, n_tx: int, n_levels: int, max_l1_tx: int,
+                max_fee_tx: int):
+    """Returns (outputs: dict with hash_global_inputs (16, 1) and the
+    final roots, ok: scalar bool)."""
+    chains = build_chains(inp, n_tx, max_fee_tx)
+    lanes, lane_ok = rollup_main_lanes(inp, chains, n_tx, n_levels,
+                                       max_fee_tx)
+    ok_all = jnp.all(lane_ok)
+    # A (global) - im_on_chain binary (src/rollup-main.circom:206-209)
+    ok_all = ok_all & jnp.all(inp["im_on_chain"] <= 1)
+    out, tail_ok = global_tail(inp, lanes, n_tx, n_levels, max_l1_tx,
+                               max_fee_tx)
+    return out, ok_all & tail_ok
 
 
 def make_rollup_main(n_tx, n_levels, max_l1_tx, max_fee_tx):

@@ -1,20 +1,30 @@
-"""Tx-lane sharding of RollupMain over a 1-D device mesh.
+"""Tx-lane sharding of RollupMain over a 1-D device mesh via shard_map.
 
 Design (TPU-native replacement for the reference's pthread witness
 parallelism, tools/helpers/actions.js:41 + circom_runtime threads):
 
   * mesh axis "tx": each chip evaluates a contiguous slice of tx lanes —
     decode, EdDSA, balance update, both SMT processors — with zero
-    communication (the im chains arrive as per-lane inputs).
-  * The neighbour windows (rq links) and the global SHA256 read across
-    lanes; XLA's SPMD partitioner turns those into collective-permute /
-    all-gather over ICI automatically. No hand-written collectives.
+    communication (the im chains arrive as per-lane inputs, the
+    reference's own parallelization contract,
+    src/rollup-main.circom:93-99).
+  * Cross-lane reads are EXPLICIT ICI collectives, not GSPMD inference:
+      - rq-link neighbour windows (±3/±4 lanes): all_gather of the three
+        small per-tx arrays, windows sliced per shard;
+      - constraint verdict: psum of per-shard failure counts
+        (SURVEY §2.4 "im-signal integrity = chip-local equality check,
+        all-reduce a verdict");
+      - the global tail (fee txs + SHA256 of the public inputs) reads
+        every lane's DA bitstring: all_gather, then replicated compute.
+    Manual SPMD (shard_map) keeps the per-shard program identical to the
+    single-chip one, so the native FFI field kernels on the CPU backend
+    and the Pallas kernels on TPU both partition trivially.
   * im chains of length T-1 are padded host-side to per-lane length-T
     prev/expected arrays (models.rollup_main.build_chains) so every
     sharded array has the lane axis divisible by the mesh.
 
-Use `make_sharded_rollup_main(mesh, ...)` then call with inputs placed by
-`tx_shardings`. nTx must be divisible by the mesh size.
+Use `make_sharded_rollup_main(mesh, ...)` then call with packed inputs.
+nTx must be divisible by the mesh size.
 """
 
 from __future__ import annotations
@@ -26,7 +36,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..field import fr
-from ..models.rollup_main import rollup_main, build_chains
+from ..models import rollup_main as rm
 
 AXIS = "tx"
 
@@ -49,9 +59,17 @@ _LANE_DIM = {
     "from_bjj_compressed": 1,
     # siblings (L+1, 16, T)
     "siblings1": 2, "siblings2": 2,
-    # scalars / fee-slot arrays / im chains: replicated (im chains have
-    # length T-1 — they are consumed through build_chains on the host
-    # side of the jit boundary, see make_sharded_rollup_main)
+    # scalars / fee-slot arrays / im chains: replicated (im chains are
+    # consumed through build_chains on the host side of the jit
+    # boundary, see make_sharded_rollup_main)
+}
+
+# chain arrays produced by build_chains: lane dim index
+_CHAIN_LANE_DIM = {
+    "prev_on_chain": 0, "im_oc_next": 0, "in_idx": 1, "old_state_root": 1,
+    "old_exit_root": 1, "acc_fee_in": 2, "expected_out_idx": 1,
+    "expected_state_root": 1, "expected_exit_root": 1,
+    "expected_acc_fee": 2,
 }
 
 
@@ -63,106 +81,95 @@ def make_tx_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), (AXIS,))
 
 
+def _spec(dim: int | None, ndim: int) -> P:
+    if dim is None:
+        return P()
+    parts = [None] * ndim
+    parts[dim] = AXIS
+    return P(*parts)
+
+
 def tx_shardings(mesh: Mesh, inp: dict) -> dict:
-    """NamedSharding pytree matching a packed+chained input dict: lane
-    axes sharded over the mesh, everything else replicated."""
-    specs = {}
-    for k, v in inp.items():
-        dim = _LANE_DIM.get(k)
-        if dim is None:
-            specs[k] = NamedSharding(mesh, P())
-        else:
-            spec = [None] * v.ndim
-            spec[dim] = AXIS
-            specs[k] = NamedSharding(mesh, P(*spec))
-    return specs
+    """NamedSharding pytree matching a packed input dict: lane axes
+    sharded over the mesh, everything else replicated."""
+    return {k: NamedSharding(mesh, _spec(_LANE_DIM.get(k), v.ndim))
+            for k, v in inp.items()}
 
 
-# chain arrays produced by build_chains: lane dim index
-_CHAIN_LANE_DIM = {
-    "prev_on_chain": 0, "in_idx": 1, "old_state_root": 1,
-    "old_exit_root": 1, "acc_fee_in": 2, "expected_out_idx": 1,
-    "expected_state_root": 1, "expected_exit_root": 1,
-    "expected_acc_fee": 2,
-}
+def _sharded_step(inp, chains, n_tx, t_loc, n_levels, max_l1_tx,
+                  max_fee_tx):
+    """Per-shard body (runs under shard_map): lane phases on the local
+    slice, explicit collectives for the cross-lane reads."""
+    start = jax.lax.axis_index(AXIS) * t_loc
 
+    # rq-link halos: gather the 3 small per-tx arrays, slice this
+    # shard's ±3/±4 windows (src/rollup-main.circom:287-309)
+    zero1 = fr.zeros((1,))
+    loc = lambda a: jax.lax.dynamic_slice_in_dim(a, start, t_loc, axis=-1)
+    neighbors = []
+    for key in ("tx_compressed_data_v2", "to_eth_addr", "to_bjj_ay"):
+        full = jax.lax.all_gather(inp[key], AXIS, axis=1, tiled=True)
+        fut, past = rm._neighbors(full, zero1)
+        neighbors += [loc(fut), loc(past)]
 
-def _chained_rollup_main(inp, chains, n_tx, n_levels, max_l1_tx,
-                         max_fee_tx):
-    # rollup_main re-derives chains from im arrays; the sharded path
-    # injects precomputed ones so every sharded array has a length-T
-    # lane axis (im arrays are length T-1, not mesh-divisible).
-    from ..models import rollup_main as rm
+    last_mask = (start + jnp.arange(t_loc)) == n_tx - 1
+    lanes, lane_ok = rm.rollup_main_lanes(
+        inp, chains, t_loc, n_levels, max_fee_tx,
+        neighbors=tuple(neighbors), last_mask=last_mask)
 
-    lanes, lane_ok = rm.rollup_main_lanes(inp, chains, n_tx, n_levels,
-                                          max_fee_tx)
-    ok_all = jnp.all(lane_ok)
+    # verdict all-reduce: psum of per-shard failure counts
+    n_bad = jax.lax.psum(jnp.sum((~lane_ok).astype(jnp.uint32)), AXIS)
+    ok_all = (n_bad == 0) & jnp.all(inp["im_on_chain"] <= 1)
 
-    fee_old_root = jnp.concatenate(
-        [inp["im_init_state_root_fee"], inp["im_state_root_fee"]], axis=-1)
-    from ..models.fee_tx import fee_tx
-    fee_root, fee_ok = fee_tx(
-        fee_old_root, inp["fee_plan_tokens"], inp["fee_idxs"],
-        inp["im_final_acc_fee"],
-        inp["token_id3"], inp["nonce3"], inp["sign3"], inp["balance3"],
-        inp["ay3"], inp["eth_addr3"], inp["siblings3"])
-    ok_all = ok_all & jnp.all(fee_ok)
-    ok_all = ok_all & jnp.all(
-        fr.eq(fee_root[:, :-1], inp["im_state_root_fee"]))
-
-    from ..models.hash_inputs import hash_inputs
-    l1_bits = lanes["l1_tx_full_data"][:, :max_l1_tx]
-    l1_flat = l1_bits.T.reshape(-1, 1)
-    l1l2 = lanes["l1l2_tx_data"]
-    not_null = (~lanes["is_amount_nullified"]).astype(jnp.uint32)
-    amount_rows = l1l2[2 * n_levels:2 * n_levels + 40] * not_null
-    l1l2 = jnp.concatenate(
-        [l1l2[:2 * n_levels], amount_rows, l1l2[2 * n_levels + 40:]],
-        axis=0)
-    l1l2_flat = l1l2.T.reshape(-1, 1)
-
-    h, h_ok = hash_inputs(
-        n_levels, n_tx, max_l1_tx, max_fee_tx,
-        inp["old_last_idx"], lanes["out_idx"][:, -1:],
-        inp["old_state_root"], fee_root[:, -1:],
-        lanes["new_exit_root"][:, -1:], l1_flat, l1l2_flat,
-        jnp.moveaxis(inp["fee_idxs"], 1, 0)[:, :, None],
-        inp["global_chain_id"], inp["current_num_batch"])
-    ok_all = ok_all & jnp.all(h_ok)
-
-    outputs = dict(
-        hash_global_inputs=h,
-        new_state_root=fee_root[:, -1:],
-        new_exit_root=lanes["new_exit_root"][:, -1:],
-        new_last_idx=lanes["out_idx"][:, -1:],
+    # global tail inputs: gather the lane outputs the fee/SHA phases read
+    gather = partial(jax.lax.all_gather, axis_name=AXIS, tiled=True)
+    full_lanes = dict(
+        l1_tx_full_data=gather(lanes["l1_tx_full_data"], axis=1),
+        l1l2_tx_data=gather(lanes["l1l2_tx_data"], axis=1),
+        is_amount_nullified=gather(lanes["is_amount_nullified"], axis=0),
+        out_idx=gather(lanes["out_idx"], axis=1),
+        new_exit_root=gather(lanes["new_exit_root"], axis=1),
+        acc_fee_out=gather(lanes["acc_fee_out"], axis=2),
     )
-    return outputs, ok_all
+    # fee txs + global SHA256: replicated compute over gathered data
+    out, tail_ok = rm.global_tail(inp, full_lanes, n_tx, n_levels,
+                                  max_l1_tx, max_fee_tx)
+    return out, ok_all & tail_ok
 
 
 def make_sharded_rollup_main(mesh: Mesh, n_tx: int, n_levels: int,
                              max_l1_tx: int, max_fee_tx: int):
     """Returns run(packed_inputs) -> (outputs, ok) with the tx axis
-    sharded over `mesh`. build_chains runs unsharded (host-cheap concat)
-    so the device arrays all carry a length-T lane axis."""
-    assert n_tx % mesh.devices.size == 0, \
-        f"nTx={n_tx} must divide over {mesh.devices.size} devices"
+    sharded over `mesh` via shard_map. build_chains runs unsharded
+    (host-cheap concat) so the device arrays all carry a length-T lane
+    axis."""
+    n_dev = mesh.devices.size
+    assert n_tx % n_dev == 0, \
+        f"nTx={n_tx} must divide over {n_dev} devices"
+    t_loc = n_tx // n_dev
 
-    fn = partial(_chained_rollup_main, n_tx=n_tx, n_levels=n_levels,
+    fn = partial(_sharded_step, n_tx=n_tx, t_loc=t_loc, n_levels=n_levels,
                  max_l1_tx=max_l1_tx, max_fee_tx=max_fee_tx)
-    jitted = jax.jit(fn)
 
     def run(packed: dict):
-        chains = build_chains(packed, n_tx, max_fee_tx)
-        in_specs = tx_shardings(mesh, packed)
-        chain_specs = {}
-        for k, v in chains.items():
-            spec = [None] * v.ndim
-            spec[_CHAIN_LANE_DIM[k]] = AXIS
-            chain_specs[k] = NamedSharding(mesh, P(*spec))
-        placed = {k: jax.device_put(v, in_specs[k])
-                  for k, v in packed.items()}
-        chains_placed = {k: jax.device_put(v, chain_specs[k])
-                         for k, v in chains.items()}
-        return jitted(placed, chains_placed)
+        chains = rm.build_chains(packed, n_tx, max_fee_tx)
+        in_specs = (
+            {k: _spec(_LANE_DIM.get(k), v.ndim)
+             for k, v in packed.items()},
+            {k: _spec(_CHAIN_LANE_DIM[k], v.ndim)
+             for k, v in chains.items()},
+        )
+        out_specs = (dict(
+            hash_global_inputs=P(), new_state_root=P(), new_exit_root=P(),
+            new_last_idx=P(), acc_fee_out=P()), P())
+        sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                out_specs=out_specs, check_vma=False)
+        placed = {k: jax.device_put(
+            v, NamedSharding(mesh, _spec(_LANE_DIM.get(k), v.ndim)))
+            for k, v in packed.items()}
+        chains_placed = {k: jax.device_put(
+            v, NamedSharding(mesh, _spec(_CHAIN_LANE_DIM[k], v.ndim)))
+            for k, v in chains.items()}
+        return jax.jit(sharded)(placed, chains_placed)
 
     return run

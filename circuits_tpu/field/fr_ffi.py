@@ -40,8 +40,13 @@ available = False
 _registered = False
 
 
+build_error: str | None = None
+
+
 def _build() -> bool:
+    global build_error
     if not _SRC.exists():
+        build_error = f"source missing: {_SRC}"
         return False
     if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
         return True
@@ -53,7 +58,11 @@ def _build() -> bool:
              "-I", jax.ffi.include_dir(), "-o", str(_SO), str(_SRC)],
             check=True, capture_output=True, timeout=300)
         return True
-    except Exception:
+    except subprocess.CalledProcessError as e:  # keep the compiler output
+        build_error = f"g++ failed: {e.stderr.decode(errors='replace')[-500:]}"
+        return False
+    except Exception as e:
+        build_error = f"{type(e).__name__}: {e}"
         return False
 
 

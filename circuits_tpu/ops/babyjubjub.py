@@ -287,6 +287,26 @@ def ay_sign_to_ax(ay, sign):
     return ax, ok & ~den_zero
 
 
+_EDDSA_BACKEND = None
+
+
+def _eddsa_backend() -> str:
+    """'pallas' (TPU fused kernel), 'interpret' (pallas interpreter, CPU
+    testing), or 'xla' (portable scan path). Resolved once from
+    $CTPU_EDDSA (auto -> pallas on TPU)."""
+    global _EDDSA_BACKEND
+    if _EDDSA_BACKEND is None:
+        import os
+        choice = os.environ.get("CTPU_EDDSA", "auto")
+        if choice == "auto":
+            # measured on v5e @512 lanes: pallas 28.5ms vs xla 28.2ms —
+            # the VPU is mul-bound either way, and the kernel costs ~70s
+            # of Mosaic compile, so the portable path stays the default
+            choice = "xla"
+        _EDDSA_BACKEND = choice
+    return _EDDSA_BACKEND
+
+
 def eddsa_poseidon_verify(enabled, ax, ay, s, r8x, r8y, msg):
     """Batched circomlib `EdDSAPoseidonVerifier`:
     checks S*B8 == R8 + Poseidon(R8x,R8y,Ax,Ay,M)*A when enabled.
@@ -294,6 +314,16 @@ def eddsa_poseidon_verify(enabled, ax, ay, s, r8x, r8y, msg):
     All field inputs canonical (16, *batch); enabled (batch,) bool/0-1.
     Returns ok (batch,) bool (True wherever disabled)."""
     hm = poseidon([r8x, r8y, ax, ay, msg])
+    be = _eddsa_backend()
+    if be in ("pallas", "interpret"):
+        from .pallas_eddsa import eddsa_ok_mont
+        coords = fr.to_mont(jnp.concatenate([ax, ay, r8x, r8y], axis=-1))
+        n = ax.shape[-1]
+        okp = eddsa_ok_mont(
+            coords[..., 0:n], coords[..., n:2 * n], s,
+            coords[..., 2 * n:3 * n], coords[..., 3 * n:4 * n], hm,
+            interpret=(be == "interpret"))
+        return okp | ~enabled.astype(jnp.bool_)
     s_bits = fr.bits_le(s, 253)
     hm_bits = fr.bits_le(hm, 254)
     # one batched to_mont for all four affine coordinates (4x fewer

@@ -32,9 +32,17 @@ def enable_cpu_fast_compile() -> None:
 
 
 def enable_persistent_cache(jax) -> None:
-    """Point jax at the shared on-disk compile cache (idempotent)."""
+    """Point jax at the shared on-disk compile cache (idempotent).
+
+    NOTE: `jax_persistent_cache_enable_xla_caches` must stay "none".
+    XLA:CPU AOT cache entries are keyed to the *compiling* machine's CPU
+    features; loading them on a host with different features fails
+    ("Machine type used for XLA:CPU compilation doesn't match...") and
+    every nominal cache hit degrades to a failed load + full recompile —
+    this poisoned the round-2 multichip dryrun.
+    """
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")

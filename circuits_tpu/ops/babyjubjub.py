@@ -299,10 +299,12 @@ def _eddsa_backend() -> str:
         import os
         choice = os.environ.get("CTPU_EDDSA", "auto")
         if choice == "auto":
-            # measured on v5e @512 lanes: pallas 28.5ms vs xla 28.2ms —
-            # the VPU is mul-bound either way, and the kernel costs ~70s
-            # of Mosaic compile, so the portable path stays the default
-            choice = "xla"
+            # standalone the kernel only matches the XLA path (28.5 vs
+            # 28.2 ms @512), but INSIDE rollup_main_lanes the XLA scans
+            # spill carries to HBM and cost 54ms; the fused kernel cuts
+            # the full lanes step 171ms -> 118ms on v5e.
+            choice = ("pallas" if jax.default_backend() == "tpu"
+                      else "xla")
         _EDDSA_BACKEND = choice
     return _EDDSA_BACKEND
 

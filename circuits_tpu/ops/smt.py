@@ -154,14 +154,29 @@ def processor(old_root, siblings, old_key, old_value, is_old0,
         return (old_up, new_up), None
 
     # levels processed bottom-up: reverse all per-level arrays
-    xs = (jnp.flip(siblings, axis=0),
-          jnp.flip(new_bits, axis=0).astype(jnp.uint32),
-          jnp.flip(jnp.stack(st_top), axis=0),
-          jnp.flip(jnp.stack(st_old0), axis=0),
-          jnp.flip(jnp.stack(st_bot), axis=0),
-          jnp.flip(jnp.stack(st_new1), axis=0),
-          jnp.flip(jnp.stack(st_upd), axis=0))
-    (old_child, new_child), _ = jax.lax.scan(level_body, (zero, zero), xs)
+    from .poseidon import _backend
+    be = _backend()
+    if be in ("pallas", "interpret") and len(bshape) == 1:
+        # fused VMEM kernel for the whole level chain (hot path on TPU)
+        from .pallas_smt import processor_chain
+        masks = jnp.stack([jnp.stack(st_top), jnp.stack(st_old0),
+                           jnp.stack(st_bot), jnp.stack(st_new1),
+                           jnp.stack(st_upd)], axis=1)  # (n, 5, B)
+        old_child, new_child = processor_chain(
+            jnp.flip(siblings, axis=0),
+            jnp.flip(new_bits, axis=0),
+            jnp.flip(masks, axis=0),
+            old1leaf, new1leaf, interpret=(be == "interpret"))
+    else:
+        xs = (jnp.flip(siblings, axis=0),
+              jnp.flip(new_bits, axis=0).astype(jnp.uint32),
+              jnp.flip(jnp.stack(st_top), axis=0),
+              jnp.flip(jnp.stack(st_old0), axis=0),
+              jnp.flip(jnp.stack(st_bot), axis=0),
+              jnp.flip(jnp.stack(st_new1), axis=0),
+              jnp.flip(jnp.stack(st_upd), axis=0))
+        (old_child, new_child), _ = jax.lax.scan(level_body, (zero, zero),
+                                                 xs)
 
     computed_old = fr.select(f_delete, new_child, old_child)
     computed_new = fr.select(f_delete, old_child, new_child)

@@ -6,6 +6,19 @@ L2-transfer lane (EdDSA verify + 2 SMT processors + 6 Poseidons + balance
 update — the full RollupTx phase A–K pipeline plus DecodeTx) is tiled
 across the batch axis; per-lane device work is identical to a real batch.
 
+Methodology (hardened after round 3 recorded a physically impossible
+number from an async-dispatch race):
+  * the verdict `ok` is asserted every rep — a run that fails constraint
+    checks reports ok=false instead of a throughput;
+  * every timed rep device_get()s an output to host (np.asarray), which
+    cannot complete before the computation has;
+  * two independent measurements — median of >=10 individually blocked
+    reps, and wall-clock over a pipelined window — must agree within 2x
+    or the result is flagged self_inconsistent and the SLOWER reading is
+    published;
+  * readings faster than a physical floor (>=1 us/tx of VPU work per
+    lane) are rejected outright.
+
 vs_baseline: the reference records no numbers (BASELINE.md). Baseline is
 an estimate of the reference's native single-core witness calculator at
 1000 tx/s (~45k constraints/tx at ~1.5 field-ops/constraint against
@@ -24,28 +37,17 @@ from functools import partial
 import numpy as np
 
 
-def main():
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    import jax
-    import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+def build_tiled_inputs(B, NLEV, MFT, jnp):
+    """Host: build a small valid batch, then tile its L2-transfer lane
+    across B lanes. Returns (tiled, tiled_chains, seed params)."""
     from circuits_tpu.builder.rollup_db import RollupDB
     from circuits_tpu.builder.account import HermezAccount
     from circuits_tpu.builder import float40
     from circuits_tpu.engine.witness import pack_rollup_inputs
-    from circuits_tpu.models.rollup_main import (build_chains,
-                                                 rollup_main_lanes)
+    from circuits_tpu.models.rollup_main import build_chains
+    from circuits_tpu.parallel.sharding import _LANE_DIM, _CHAIN_LANE_DIM
 
-    B = int(os.environ.get("BENCH_NTX", "512"))
-    NLEV = int(os.environ.get("BENCH_NLEVELS", "32"))
-    MFT = int(os.environ.get("BENCH_MAXFEETX", "64"))
     SEED_TX, ML1 = 4, 2
-
-    # host: build a small valid batch, then tile its L2-transfer lane
     a1, a2 = HermezAccount(1), HermezAccount(2)
     db = RollupDB()
     bb = db.build_batch(SEED_TX, NLEV, ML1, MFT)
@@ -66,46 +68,109 @@ def main():
     chains = build_chains(packed, SEED_TX, MFT)
 
     lane = 0  # the L2 transfer lane (slot 0 of batch 2)
-    reps = B
 
     def tile(x, dim):
         idx = [slice(None)] * x.ndim
         idx[dim] = slice(lane, lane + 1)
         sl = np.asarray(x[tuple(idx)])
-        return jnp.asarray(np.repeat(sl, reps, axis=dim))
+        return jnp.asarray(np.repeat(sl, B, axis=dim))
 
-    from circuits_tpu.parallel.sharding import _LANE_DIM, _CHAIN_LANE_DIM
     tiled = {k: (tile(v, _LANE_DIM[k]) if k in _LANE_DIM else jnp.asarray(v))
              for k, v in packed.items()}
     tiled_chains = {k: tile(v, _CHAIN_LANE_DIM[k]) for k, v in
                     chains.items()}
+    return tiled, tiled_chains
+
+
+def main():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from circuits_tpu.utils.compile_opts import enable_persistent_cache
+    enable_persistent_cache(jax)
+
+    from circuits_tpu.models.rollup_main import rollup_main_lanes
+    from circuits_tpu.r1cs import constraints as cc
+
+    B = int(os.environ.get("BENCH_NTX", "512"))
+    NLEV = int(os.environ.get("BENCH_NLEVELS", "32"))
+    MFT = int(os.environ.get("BENCH_MAXFEETX", "64"))
+    REPS = int(os.environ.get("BENCH_REPS", "10"))
+    WINDOW = int(os.environ.get("BENCH_WINDOW", "10"))
+
+    tiled, tiled_chains = build_tiled_inputs(B, NLEV, MFT, jnp)
 
     fn = jax.jit(partial(rollup_main_lanes, n_tx=B, n_levels=NLEV,
                          max_fee_tx=MFT))
 
-    t0 = time.time()
-    lanes, ok = fn(tiled, tiled_chains)
-    jax.block_until_ready(lanes["new_state_root"])
-    compile_time = time.time() - t0
-
-    times = []
-    for _ in range(3):
-        t0 = time.time()
+    def run_blocked():
+        """One rep, forced to completion: device_get an output (bytes on
+        host prove the computation ran) + block the whole output tree."""
         lanes, ok = fn(tiled, tiled_chains)
-        jax.block_until_ready(lanes["new_state_root"])
-        times.append(time.time() - t0)
-    best = min(times)
-    tx_per_sec = B / best
+        jax.block_until_ready((lanes, ok))
+        root_host = np.asarray(lanes["new_state_root"])
+        ok_host = np.asarray(ok)
+        return root_host, ok_host
+
+    t0 = time.time()
+    root0, ok0 = run_blocked()
+    compile_time = time.time() - t0
+    all_ok = bool(ok0.all())
+
+    # 1) individually blocked reps
+    blocked = []
+    for _ in range(REPS):
+        t0 = time.time()
+        root, ok = run_blocked()
+        blocked.append(time.time() - t0)
+        all_ok = all_ok and bool(ok.all())
+        if not np.array_equal(root, root0):
+            all_ok = False  # nondeterminism would invalidate the run
+    blocked_med = float(np.median(blocked))
+
+    # 2) pipelined window cross-check: dispatch WINDOW reps back-to-back,
+    # block once at the end — wall/WINDOW bounds the steady-state rate.
+    t0 = time.time()
+    outs = [fn(tiled, tiled_chains) for _ in range(WINDOW)]
+    jax.block_until_ready(outs)
+    np.asarray(outs[-1][0]["new_state_root"])
+    pipelined = (time.time() - t0) / WINDOW
+
+    # self-consistency: the two methods must agree within 2x
+    consistent = (max(blocked_med, pipelined)
+                  <= 2.0 * min(blocked_med, pipelined))
+    per_run = blocked_med if consistent else max(blocked_med, pipelined)
+
+    # physical floor: a full RollupTx lane (EdDSA + 2x33-level SMT + ~130
+    # Poseidons) cannot cost < 1 us on any current chip
+    if per_run < B * 1e-6:
+        all_ok = False
+
+    tx_per_sec = B / per_run
+    lane_constraints = cc.decode_tx(NLEV) + cc.rollup_tx(NLEV, MFT)
+    constraints_per_sec = tx_per_sec * lane_constraints
 
     print(json.dumps({
         "metric": "rollup_tx_witness_per_sec",
         "value": round(tx_per_sec, 2),
         "unit": "tx/s",
         "vs_baseline": round(tx_per_sec / 1000.0, 3),
+        "ok": all_ok,
+        "self_consistent": consistent,
+        "blocked_median_s": round(blocked_med, 4),
+        "pipelined_s": round(pipelined, 4),
+        "constraints_per_sec": round(constraints_per_sec),
+        "compile_s": round(compile_time, 1),
+        "platform": jax.devices()[0].platform,
+        "batch": B,
+        "reps": REPS,
     }))
-    print(f"# B={B} nLevels={NLEV} maxFeeTx={MFT} best={best:.3f}s "
-          f"compile={compile_time:.1f}s platform="
-          f"{jax.devices()[0].platform}", file=sys.stderr)
+    print(f"# B={B} nLevels={NLEV} maxFeeTx={MFT} ok={all_ok} "
+          f"blocked_med={blocked_med:.4f}s pipelined={pipelined:.4f}s "
+          f"consistent={consistent} compile={compile_time:.1f}s "
+          f"lane_constraints={lane_constraints} "
+          f"platform={jax.devices()[0].platform}", file=sys.stderr)
 
 
 if __name__ == "__main__":

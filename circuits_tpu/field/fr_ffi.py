@@ -34,6 +34,8 @@ _SYMBOLS = {
     "fr_add": "FrAdd",
     "fr_sub": "FrSub",
     "fr_pow": "FrPow",
+    "fr_poseidon": "FrPoseidon",
+    "sha256_blocks": "Sha256Blocks",
 }
 
 available = False
@@ -136,6 +138,42 @@ def add(a, b):
 
 def sub(a, b):
     return _call("fr_sub", a.shape[0], a, b)
+
+
+def poseidon_permute_mont(state_m, c_flat: np.ndarray, m_flat: np.ndarray):
+    """Whole Poseidon permutation as ONE custom call.
+
+    state_m: (16, t, *batch) Montgomery limbs; c_flat ((RF+rp)*t, 16) and
+    m_flat (t*t, 16) are host numpy Montgomery constants (t and rp are
+    inferred by the handler from their sizes)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_limbs, t = state_m.shape[0], state_m.shape[1]
+    bshape = state_m.shape[2:]
+    n = int(np.prod(bshape, dtype=np.int64)) if bshape else 1
+    # (16, t, B) -> (B, t, 16)
+    st = jnp.transpose(state_m.reshape(n_limbs, t, n), (2, 1, 0))
+    out = jax.ffi.ffi_call(
+        "fr_poseidon", jax.ShapeDtypeStruct((n, t, n_limbs), jnp.uint32))(
+        st, jnp.asarray(c_flat), jnp.asarray(m_flat))
+    return jnp.transpose(out, (2, 1, 0)).reshape(state_m.shape)
+
+
+def sha256_blocks(words):
+    """SHA-256 digests as ONE custom call. words: (nwords, *batch) u32
+    big-endian message words, pre-padded to whole 512-bit blocks
+    (nwords % 16 == 0). Returns (8, *batch) digest words."""
+    import jax
+    import jax.numpy as jnp
+
+    nwords = words.shape[0]
+    bshape = words.shape[1:]
+    n = int(np.prod(bshape, dtype=np.int64)) if bshape else 1
+    wt = words.reshape(nwords, n).T  # (N, nwords)
+    out = jax.ffi.ffi_call(
+        "sha256_blocks", jax.ShapeDtypeStruct((n, 8), jnp.uint32))(wt)
+    return out.T.reshape((8,) + bshape)
 
 
 def pow_const_mont(a_mont, e: int):

@@ -110,9 +110,28 @@ def permute_mont_xla(state_m: jnp.ndarray) -> jnp.ndarray:
     return state_m
 
 
+@lru_cache(maxsize=None)
+def _ffi_constants(t: int):
+    """Flat Montgomery constant layouts for the whole-permutation FFI
+    call: C ((RF+rp)*t, 16) and M (t*t, 16) uint32."""
+    C, M = constants(t)
+    nrounds = N_ROUNDS_F + N_ROUNDS_P[t - 2]
+    c_flat = np.stack([_limbs_mont(C[i]) for i in range(nrounds * t)])
+    m_flat = np.stack([_limbs_mont(M[i][j])
+                       for i in range(t) for j in range(t)])
+    return c_flat, m_flat
+
+
 def permute_mont(state_m: jnp.ndarray) -> jnp.ndarray:
     be = _backend()
     if be == "xla":
+        from ..field import fr_ffi
+        if fr_ffi.enabled():
+            # CPU: the whole permutation is ONE custom call — the
+            # compile-mass collapse that keeps the multichip dryrun and
+            # the CPU test suite inside budget (VERDICT r3 task 1)
+            t = state_m.shape[1]
+            return fr_ffi.poseidon_permute_mont(state_m, *_ffi_constants(t))
         return permute_mont_xla(state_m)
     from .pallas_poseidon import permute_mont as permute_pallas
     return permute_pallas(state_m, interpret=(be == "interpret"))

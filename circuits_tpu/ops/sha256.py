@@ -88,15 +88,22 @@ def sha256_bits(bits: jnp.ndarray) -> jnp.ndarray:
         .reshape((1, 32) + (1,) * len(bshape)))
     grouped = allbits.reshape((total // 32, 32) + bshape)
     words = jnp.sum(grouped * weights, axis=1, dtype=jnp.uint32)
-    warr = words.reshape((nblocks, 16) + bshape)
+    from ..field import fr_ffi
+    if fr_ffi.enabled():
+        # CPU: one custom call per digest — the XLA formulation lowers
+        # to ~2000 unfused u32[1] thunks per block on XLA:CPU, which at
+        # the measured ~0.2 ms/thunk dispatch cost was the execution
+        # wall of the multichip dryrun (round-4 diagnosis)
+        hstack = fr_ffi.sha256_blocks(words)
+    else:
+        warr = words.reshape((nblocks, 16) + bshape)
+        h0 = tuple(jnp.full(bshape, v, dtype=jnp.uint32) for v in _H0)
 
-    h0 = tuple(jnp.full(bshape, v, dtype=jnp.uint32) for v in _H0)
+        def body(h, w16):
+            return _compress_block(h, w16), None
 
-    def body(h, w16):
-        return _compress_block(h, w16), None
-
-    hfin, _ = jax.lax.scan(body, h0, warr)
-    hstack = jnp.stack(hfin, axis=0)  # (8, *batch)
+        hfin, _ = jax.lax.scan(body, h0, warr)
+        hstack = jnp.stack(hfin, axis=0)  # (8, *batch)
     shifts = jnp.asarray(
         np.arange(31, -1, -1, dtype=np.uint32)
         .reshape((1, 32) + (1,) * len(bshape)))

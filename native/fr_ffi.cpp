@@ -189,6 +189,167 @@ static ffi::Error FrPowImpl(ffi::Buffer<ffi::U32> a,
     return ffi::Error::Success();
 }
 
+// ---------------------------------------------------------------------
+// Whole-Poseidon-permutation custom call.
+//
+// One call per permutation instead of ~65 rounds x (add + 3 muls +
+// t^2 muls + limb sums) of HLO: the dominant compile-mass collapse for
+// the CPU correctness paths (the multichip dryrun and the test suite).
+// Constants arrive as operands (Montgomery form) so the handler stays
+// stateless: C is ((RF+rp)*t, 16) and M is (t*t, 16); t and rp are
+// inferred from the operand shapes (RF is fixed at 8, as in circomlib).
+// state: (N, t, 16) u32 Montgomery, updated out-of-place.
+// ---------------------------------------------------------------------
+
+static const int kRF = 8;
+
+static inline void pow5_4(u64* r, const u64* a) {
+    u64 a2[4], a4[4];
+    mont_mul4(a2, a, a);
+    mont_mul4(a4, a2, a2);
+    mont_mul4(r, a4, a);
+}
+
+static ffi::Error FrPoseidonImpl(ffi::Buffer<ffi::U32> state,
+                                 ffi::Buffer<ffi::U32> cbuf,
+                                 ffi::Buffer<ffi::U32> mbuf,
+                                 ffi::ResultBuffer<ffi::U32> out) {
+    const size_t mcount = mbuf.element_count() / 16;  // t*t
+    size_t t = 1;
+    while (t * t < mcount) ++t;
+    if (t * t != mcount || t < 2 || t > 17)
+        return ffi::Error(ffi::ErrorCode::kInvalidArgument,
+                          "bad MDS operand size");
+    const size_t nc = cbuf.element_count() / 16;      // (RF+rp)*t
+    const int nrounds = (int)(nc / t);
+    const int rp = nrounds - kRF;
+    if ((size_t)nrounds * t != nc || rp < 0 || nrounds > 80)
+        return ffi::Error(ffi::ErrorCode::kInvalidArgument,
+                          "bad round-constant operand size");
+    const size_t n = state.element_count() / (16 * t);
+
+    // unpack constants once per call (tiny: <= 73*t + t*t elements)
+    u64 C[80 * 17][4];
+    u64 M[17 * 17][4];
+    const u32* cp = cbuf.typed_data();
+    const u32* mp = mbuf.typed_data();
+    for (size_t i = 0; i < nc; ++i) load_fe(C[i], cp + 16 * i);
+    for (size_t i = 0; i < mcount; ++i) load_fe(M[i], mp + 16 * i);
+
+    const u32* sp = state.typed_data();
+    u32* op_ = out->typed_data();
+    u64 st[17][4], ns[17][4];
+    for (size_t k = 0; k < n; ++k) {
+        for (size_t i = 0; i < t; ++i) load_fe(st[i], sp + 16 * (k * t + i));
+        for (int r = 0; r < nrounds; ++r) {
+            for (size_t i = 0; i < t; ++i)
+                add_mod4(st[i], st[i], C[r * t + i]);
+            bool full = (r < kRF / 2) || (r >= kRF / 2 + rp);
+            if (full) {
+                for (size_t i = 0; i < t; ++i) pow5_4(st[i], st[i]);
+            } else {
+                pow5_4(st[0], st[0]);
+            }
+            for (size_t i = 0; i < t; ++i) {
+                u64 acc[4] = {0, 0, 0, 0};
+                for (size_t j = 0; j < t; ++j) {
+                    u64 prod[4];
+                    mont_mul4(prod, M[i * t + j], st[j]);
+                    add_mod4(acc, acc, prod);
+                }
+                memcpy(ns[i], acc, 32);
+            }
+            memcpy(st, ns, t * 32);
+        }
+        for (size_t i = 0; i < t; ++i) store_fe(op_ + 16 * (k * t + i), st[i]);
+    }
+    return ffi::Error::Success();
+}
+
+XLA_FFI_DEFINE_HANDLER_SYMBOL(
+    FrPoseidon, FrPoseidonImpl,
+    ffi::Ffi::Bind()
+        .Arg<ffi::Buffer<ffi::U32>>()
+        .Arg<ffi::Buffer<ffi::U32>>()
+        .Arg<ffi::Buffer<ffi::U32>>()
+        .Ret<ffi::Buffer<ffi::U32>>());
+
+// ---------------------------------------------------------------------
+// SHA-256 over packed 512-bit blocks (FIPS 180-4).
+//
+// The HashInputs tail hashes one multi-kilobit preimage per batch; the
+// word-packed XLA formulation lowers to ~2000 unfused u32[1] thunks per
+// block on XLA:CPU (measured ~0.2 ms/thunk on this host class -> ~3 s
+// per block). One custom call per digest removes that wall from the
+// multichip dryrun and the CPU test suite. TPU keeps the XLA path.
+// words: (N, nblocks*16) u32 big-endian message words (pre-padded);
+// out: (N, 8) u32 digest words.
+// ---------------------------------------------------------------------
+
+static const u32 kSha256K[64] = {
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
+
+static inline u32 rotr32(u32 x, int n) { return (x >> n) | (x << (32 - n)); }
+
+static ffi::Error Sha256BlocksImpl(ffi::Buffer<ffi::U32> words,
+                                   ffi::ResultBuffer<ffi::U32> out) {
+    const size_t total = words.element_count();
+    u32* op_ = out->typed_data();
+    const size_t n = out->element_count() / 8;
+    if (n == 0 || total % (16 * n) != 0)
+        return ffi::Error(ffi::ErrorCode::kInvalidArgument,
+                          "words must be (N, nblocks*16)");
+    const size_t nblocks = total / (16 * n);
+    const u32* wp = words.typed_data();
+    for (size_t k = 0; k < n; ++k) {
+        u32 h[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                    0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19};
+        for (size_t blk = 0; blk < nblocks; ++blk) {
+            u32 w[64];
+            memcpy(w, wp + (k * nblocks + blk) * 16, 64);
+            for (int i = 16; i < 64; ++i) {
+                u32 s0 = rotr32(w[i - 15], 7) ^ rotr32(w[i - 15], 18) ^
+                         (w[i - 15] >> 3);
+                u32 s1 = rotr32(w[i - 2], 17) ^ rotr32(w[i - 2], 19) ^
+                         (w[i - 2] >> 10);
+                w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+            }
+            u32 a = h[0], b = h[1], c = h[2], d = h[3];
+            u32 e = h[4], f = h[5], g = h[6], hh = h[7];
+            for (int i = 0; i < 64; ++i) {
+                u32 s1 = rotr32(e, 6) ^ rotr32(e, 11) ^ rotr32(e, 25);
+                u32 ch = (e & f) ^ (~e & g);
+                u32 t1 = hh + s1 + ch + kSha256K[i] + w[i];
+                u32 s0 = rotr32(a, 2) ^ rotr32(a, 13) ^ rotr32(a, 22);
+                u32 maj = (a & b) ^ (a & c) ^ (b & c);
+                u32 t2 = s0 + maj;
+                hh = g; g = f; f = e; e = d + t1;
+                d = c; c = b; b = a; a = t1 + t2;
+            }
+            h[0] += a; h[1] += b; h[2] += c; h[3] += d;
+            h[4] += e; h[5] += f; h[6] += g; h[7] += hh;
+        }
+        memcpy(op_ + 8 * k, h, 32);
+    }
+    return ffi::Error::Success();
+}
+
+XLA_FFI_DEFINE_HANDLER_SYMBOL(
+    Sha256Blocks, Sha256BlocksImpl,
+    ffi::Ffi::Bind()
+        .Arg<ffi::Buffer<ffi::U32>>()
+        .Ret<ffi::Buffer<ffi::U32>>());
+
 XLA_FFI_DEFINE_HANDLER_SYMBOL(
     FrMontMul, FrMontMulImpl,
     ffi::Ffi::Bind()

@@ -104,42 +104,46 @@ def main():
     fn = jax.jit(partial(rollup_main_lanes, n_tx=B, n_levels=NLEV,
                          max_fee_tx=MFT))
 
-    def run_blocked():
-        """One rep, forced to completion: device_get an output (bytes on
-        host prove the computation ran) + block the whole output tree."""
-        lanes, ok = fn(tiled, tiled_chains)
-        jax.block_until_ready((lanes, ok))
-        root_host = np.asarray(lanes["new_state_root"])
-        ok_host = np.asarray(ok)
-        return root_host, ok_host
-
+    # warmup + verification: device_get (bytes on the host prove the
+    # computation ran) and assert the verdict
     t0 = time.time()
-    root0, ok0 = run_blocked()
+    lanes0, ok0 = fn(tiled, tiled_chains)
+    root0 = np.asarray(lanes0["new_state_root"])
+    ok0 = np.asarray(ok0)
     compile_time = time.time() - t0
     all_ok = bool(ok0.all())
 
-    # 1) individually blocked reps
+    # 1) individually blocked reps: block on the WHOLE output tree (the
+    # round-3 failure blocked on one array and recorded an async-dispatch
+    # race). device_get stays outside the loop — over the remote-TPU
+    # tunnel it adds ~50 ms of pure network transfer per rep.
     blocked = []
+    last = None
     for _ in range(REPS):
         t0 = time.time()
-        root, ok = run_blocked()
+        last = fn(tiled, tiled_chains)
+        jax.block_until_ready(last)
         blocked.append(time.time() - t0)
-        all_ok = all_ok and bool(ok.all())
-        if not np.array_equal(root, root0):
-            all_ok = False  # nondeterminism would invalidate the run
     blocked_med = float(np.median(blocked))
+    lanesN, okN = last
+    all_ok = all_ok and bool(np.asarray(okN).all())
+    if not np.array_equal(np.asarray(lanesN["new_state_root"]), root0):
+        all_ok = False  # nondeterminism would invalidate the run
 
     # 2) pipelined window cross-check: dispatch WINDOW reps back-to-back,
     # block once at the end — wall/WINDOW bounds the steady-state rate.
     t0 = time.time()
     outs = [fn(tiled, tiled_chains) for _ in range(WINDOW)]
     jax.block_until_ready(outs)
-    np.asarray(outs[-1][0]["new_state_root"])
     pipelined = (time.time() - t0) / WINDOW
 
-    # self-consistency: the two methods must agree within 2x
-    consistent = (max(blocked_med, pipelined)
-                  <= 2.0 * min(blocked_med, pipelined))
+    # self-consistency: a blocked rep can never be faster than the
+    # steady-state pipelined rate — a reading below pipelined/2 means the
+    # "blocked" timer did not actually wait for the device (the exact
+    # async race that produced round 3's impossible 3.2M tx/s). Publish
+    # the conservative blocked latency; escalate to pipelined if the
+    # blocked reading is untrustworthy.
+    consistent = blocked_med >= 0.5 * pipelined
     per_run = blocked_med if consistent else max(blocked_med, pipelined)
 
     # physical floor: a full RollupTx lane (EdDSA + 2x33-level SMT + ~130

@@ -361,8 +361,14 @@ class BatchBuilder:
         token_id = _to_int(tx.get("tokenID", 0))
         from_idx = _to_int(tx.get("fromIdx", 0))
         to_idx = _to_int(tx.get("toIdx", 0))
-        amount = _to_int(tx.get("amount", 0))
-        amount_f = float40.fix2float(amount)
+        if "amountF" in tx:
+            # L1 txs may specify the raw 40-bit float directly
+            # (reference test/rollup-main-L1.test.js passes amountF)
+            amount_f = _to_int(tx["amountF"])
+            amount = float40.float2fix(amount_f)
+        else:
+            amount = _to_int(tx.get("amount", 0))
+            amount_f = float40.fix2float(amount)
         load_amount_f = _to_int(tx.get("loadAmountF", 0))
         load_amount = float40.float2fix(load_amount_f)
         user_fee = _to_int(tx.get("userFee", 0))

@@ -144,35 +144,139 @@ class RollupEngine:
                 np.moveaxis(np.asarray(out["acc_fee_out"]), 1, 0))]
         return res
 
-    def trace(self, inp: dict) -> dict:
-        """Signal-level introspection (the printSignals equivalent,
-        reference test/helpers/helpers.js:168-173): returns per-lane
-        intermediate signals as host ints — decode outputs, per-lane
-        roots, fee accumulators, per-lane constraint verdicts."""
-        from functools import partial as _partial
+    # Signal catalog: dotted trace name -> (group path in the debug lane
+    # dict, circom signal it mirrors). The trace()/get_signal() pair is
+    # the printSignals equivalent (reference
+    # test/helpers/helpers.js:168-188) — every name reads the value the
+    # corresponding circom signal would hold, per tx lane.
+    SIGNALS = {
+        # DecodeTx (src/decode-tx.circom)
+        "decode.fromIdx": (("decode", "from_idx"), "Decoder[i].fromIdx"),
+        "decode.toIdx": (("decode", "to_idx"), "Decoder[i].toIdx"),
+        "decode.tokenID": (("decode", "token_id"), "Decoder[i].tokenID"),
+        "decode.nonce": (("decode", "nonce"), "Decoder[i].nonce"),
+        "decode.userFee": (("decode", "user_fee"), "Decoder[i].userFee"),
+        "decode.amount": (("decode", "amount"), "Decoder[i].amount"),
+        "decode.toBjjSign": (("decode", "to_bjj_sign"),
+                             "Decoder[i].toBjjSign"),
+        "decode.sigL2Hash": (("decode", "sig_l2_hash"),
+                             "Decoder[i].sigL2Hash"),
+        "decode.newAccountIdx": (("decode", "out_idx"),
+                                 "Decoder[i].outIdx"),
+        "decode.txCompressedDataV2": (("decode", "tx_compressed_data_v2"),
+                                      "Decoder[i].txCompressedDataV2"),
+        # RollupTxStates (src/rollup-tx-states.circom)
+        "states.key1": (("tx", "states", "key1"), "Tx[i].states.key1"),
+        "states.key2": (("tx", "states", "key2"), "Tx[i].states.key2"),
+        "states.P1_fnc0": (("tx", "states", "p1_fnc0"),
+                           "Tx[i].states.P1_fnc0"),
+        "states.P1_fnc1": (("tx", "states", "p1_fnc1"),
+                           "Tx[i].states.P1_fnc1"),
+        "states.P2_fnc0": (("tx", "states", "p2_fnc0"),
+                           "Tx[i].states.P2_fnc0"),
+        "states.P2_fnc1": (("tx", "states", "p2_fnc1"),
+                           "Tx[i].states.P2_fnc1"),
+        "states.isExit": (("tx", "states", "is_exit"),
+                          "Tx[i].states.isExit"),
+        "states.verifySignEnabled": (("tx", "states",
+                                      "verify_sign_enabled"),
+                                     "Tx[i].states.verifySignEnabled"),
+        "states.nullifyLoadAmount": (("tx", "states",
+                                      "nullify_load_amount"),
+                                     "Tx[i].states.nullifyLoadAmount"),
+        "states.nullifyAmount": (("tx", "states", "nullify_amount"),
+                                 "Tx[i].states.nullifyAmount"),
+        # BalanceUpdater (src/balance-updater.circom)
+        "balanceUpdater.newStBalanceSender": (
+            ("tx", "balance", "new_balance_sender"),
+            "Tx[i].balancesUpdater.newStBalanceSender"),
+        "balanceUpdater.newStBalanceReceiver": (
+            ("tx", "balance", "new_balance_receiver"),
+            "Tx[i].balancesUpdater.newStBalanceReceiver"),
+        "balanceUpdater.fee2Charge": (("tx", "balance", "fee2_charge"),
+                                      "Tx[i].balancesUpdater.fee2Charge"),
+        "balanceUpdater.isP2Nop": (("tx", "balance", "is_p2_nop"),
+                                   "Tx[i].balancesUpdater.isP2Nop"),
+        "balanceUpdater.isAmountNullified": (
+            ("tx", "balance", "is_amount_nullified"),
+            "Tx[i].balancesUpdater.isAmountNullified"),
+        "decodeLoadAmount": (("tx", "balance", "load_amount"),
+                             "Tx[i].decodeLoadAmountF.out"),
+        # HashState instances (src/lib/hash-state.circom)
+        "oldStHash1": (("tx", "old_state_hash1"), "Tx[i].oldStHash1.out"),
+        "oldStHash2": (("tx", "old_state_hash2"), "Tx[i].oldStHash2.out"),
+        "newStHash1": (("tx", "new_state_hash1"), "Tx[i].newStHash1.out"),
+        "newStHash2": (("tx", "new_state_hash2"), "Tx[i].newStHash2.out"),
+        # EdDSA / SMT (src/rollup-tx.circom phases F, J)
+        "sigAx": (("tx", "sig_ax"), "Tx[i].getAx.ax"),
+        "processor1.newRoot": (("tx", "p1_new_root"),
+                               "Tx[i].processor1.newRoot"),
+        "processor2.newRoot": (("tx", "p2_new_root"),
+                               "Tx[i].processor2.newRoot"),
+        # lane outputs
+        "newStateRoot": (("new_state_root",), "Tx[i].newStateRoot"),
+        "newExitRoot": (("new_exit_root",), "Tx[i].newExitRoot"),
+        "outIdx": (("out_idx",), "Decoder[i].outIdx"),
+        "isAmountNullified": (("is_amount_nullified",),
+                              "Tx[i].isAmountNullified"),
+    }
+
+    def _trace_lanes(self, inp: dict):
         from ..models.rollup_main import build_chains, rollup_main_lanes
 
         n_tx, n_levels, max_l1_tx, max_fee_tx = self.params
-
         if not hasattr(self, "_trace_fn"):
             def fn(packed):
                 chains = build_chains(packed, n_tx, max_fee_tx)
-                lanes, lane_ok = rollup_main_lanes(
-                    packed, chains, n_tx, n_levels, max_fee_tx)
-                return lanes, lane_ok
+                return rollup_main_lanes(packed, chains, n_tx, n_levels,
+                                         max_fee_tx, debug=True)
 
             self._trace_fn = jax.jit(fn)
-        lanes, lane_ok = self._trace_fn(self.pack(inp))
+        return self._trace_fn(self.pack(inp))
+
+    @staticmethod
+    def _lookup(lanes: dict, path: tuple):
+        v = lanes
+        for p in path:
+            v = v[p]
+        return v
+
+    @staticmethod
+    def _to_host(arr) -> list:
+        a = np.asarray(arr)
+        if a.ndim >= 1 and a.shape[0] == 16 and a.dtype == np.uint32:
+            return [int(v) for v in fr.unpack_np(a)]
+        return [int(v) for v in a.reshape(-1)]
+
+    def trace(self, inp: dict) -> dict:
+        """Signal-level introspection (the printSignals equivalent,
+        reference test/helpers/helpers.js:168-188): every SIGNALS entry
+        as a per-lane list of host ints, plus lane_ok / accFeeOut."""
+        lanes, lane_ok = self._trace_lanes(inp)
         res = {"lane_ok": np.asarray(lane_ok).tolist()}
-        for k in ["out_idx", "new_state_root", "new_exit_root"]:
-            res[k] = [int(v) for v in fr.unpack_np(np.asarray(lanes[k]))]
-        res["is_amount_nullified"] = np.asarray(
-            lanes["is_amount_nullified"]).tolist()
+        for name in self.SIGNALS:
+            path, _ = self.SIGNALS[name]
+            res[name] = self._to_host(self._lookup(lanes, path))
         acc = np.asarray(lanes["acc_fee_out"])  # (F, 16, T)
-        res["acc_fee_out"] = [
+        res["accFeeOut"] = [
             [int(v) for v in fr.unpack_np(acc[f])]
             for f in range(acc.shape[0])]
         return res
+
+    def get_signal(self, inp: dict, name: str):
+        """Read one named signal for every tx lane. `name` is a SIGNALS
+        key, optionally suffixed "[i]" for a single lane
+        (e.g. "states.key1[2]")."""
+        lane = None
+        if name.endswith("]") and "[" in name:
+            base, idx = name[:-1].rsplit("[", 1)
+            lane, name = int(idx), base
+        if name not in self.SIGNALS:
+            raise KeyError(
+                f"unknown signal {name!r}; catalog: {sorted(self.SIGNALS)}")
+        lanes, _ = self._trace_lanes(inp)
+        vals = self._to_host(self._lookup(lanes, self.SIGNALS[name][0]))
+        return vals if lane is None else vals[lane]
 
 
 class WithdrawEngine:

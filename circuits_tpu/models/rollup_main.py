@@ -94,7 +94,8 @@ def build_chains(inp: dict, n_tx: int, max_fee_tx: int) -> dict:
 
 
 def rollup_main_lanes(inp: dict, chains: dict, n_tx: int, n_levels: int,
-                      max_fee_tx: int, neighbors=None, last_mask=None):
+                      max_fee_tx: int, neighbors=None, last_mask=None,
+                      debug: bool = False):
     """Phases A–E for all tx lanes. Returns (lane outputs dict, per-lane
     ok (T,)).
 
@@ -181,7 +182,7 @@ def rollup_main_lanes(inp: dict, chains: dict, n_tx: int, n_levels: int,
         old_state_root=chains["old_state_root"],
         old_exit_root=chains["old_exit_root"],
     )
-    txo, tx_ok = rollup_tx(tx_in, n_levels)
+    txo, tx_ok = rollup_tx(tx_in, n_levels, debug=debug)
     lane_ok = lane_ok & tx_ok
 
     # E + G(:427-431) - im integrity per lane
@@ -189,9 +190,11 @@ def rollup_main_lanes(inp: dict, chains: dict, n_tx: int, n_levels: int,
                               chains["expected_state_root"])
     lane_ok = lane_ok & (fr.eq(txo["new_exit_root"],
                                chains["expected_exit_root"]) | last)
-    lane_ok = lane_ok & fr.eq(
+    # (F, T) slot-wise equality -> per-lane all-slots-match; without the
+    # axis-0 reduction lane_ok silently broadcast to (F, T)
+    lane_ok = lane_ok & jnp.all(fr.eq(
         jnp.moveaxis(txo["acc_fee_out"], 1, 0),
-        jnp.moveaxis(chains["expected_acc_fee"], 1, 0))
+        jnp.moveaxis(chains["expected_acc_fee"], 1, 0)), axis=0)
 
     lanes = dict(
         l1_tx_full_data=dec["l1_tx_full_data"],
@@ -202,6 +205,13 @@ def rollup_main_lanes(inp: dict, chains: dict, n_tx: int, n_levels: int,
         acc_fee_out=txo["acc_fee_out"],
         is_amount_nullified=txo["is_amount_nullified"],
     )
+    if debug:
+        lanes["decode"] = dec
+        lanes["tx"] = {k: txo[k] for k in
+                       ("states", "balance", "old_state_hash1",
+                        "old_state_hash2", "new_state_hash1",
+                        "new_state_hash2", "sig_ax", "p1_new_root",
+                        "p2_new_root")}
     return lanes, lane_ok
 
 

@@ -62,12 +62,16 @@ def _feq_if(enabled, a, b):
     return fr.eq(a, b) | ~enabled
 
 
-def rollup_tx(inp: dict, n_levels: int):
+def rollup_tx(inp: dict, n_levels: int, debug: bool = False):
     """inp: dict of batched signals (see src/rollup-tx.circom inputs;
     snake_case names). Field signals (16, B); flags (B,); siblings
     (nLevels+1, 16, B); fee plan arrays (F, 16, B); bjj bits (256, B).
 
-    Returns (outputs: dict, ok: (B,) bool)."""
+    Returns (outputs: dict, ok: (B,) bool). With debug=True the outputs
+    include the internal phase signals (states decision table, balance
+    updater, state hashes, processor roots) for signal-by-name tracing —
+    the printSignals equivalent (reference
+    test/helpers/helpers.js:168-188)."""
     bshape = inp["amount"].shape[1:]
     on_chain = inp["on_chain"].astype(jnp.bool_)
     zero = fr.zeros(bshape)
@@ -197,4 +201,14 @@ def rollup_tx(inp: dict, n_levels: int):
         new_exit_root=new_exit_root,
         is_amount_nullified=bal["is_amount_nullified"],
     )
+    if debug:
+        outputs["states"] = st
+        outputs["balance"] = dict(bal, load_amount=load_amount)
+        outputs["old_state_hash1"] = old_st1
+        outputs["old_state_hash2"] = old_st2
+        outputs["new_state_hash1"] = new_st1
+        outputs["new_state_hash2"] = new_st2
+        outputs["sig_ax"] = ax
+        outputs["p1_new_root"] = p1_root
+        outputs["p2_new_root"] = p2_root
     return outputs, ok

@@ -1,0 +1,130 @@
+"""Production-shape run: one full RollupMain(2048, 32, 256, 64) batch.
+
+The north-star parametrization (/root/reference/tools/README.md:87;
+~1.22e8 R1CS constraints, BASELINE.md). Measures the full pipeline on
+the real chip: host builder time (sequential SMT root chain), input
+packing, TPU compile, witness wall-time (blocked + pipelined), and
+device memory. Writes a summary line for SCALING.md.
+
+Usage: python scripts/exp_production.py [nTx]   (default 2048)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_TX = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+NLEV, ML1, MFT = 32, 256, 64
+N_ACC = max(N_TX, 2)
+
+import jax
+
+from circuits_tpu.utils.compile_opts import enable_persistent_cache
+
+enable_persistent_cache(jax)
+
+from functools import partial
+from circuits_tpu.builder.rollup_db import RollupDB
+from circuits_tpu.builder.account import HermezAccount
+from circuits_tpu.builder import float40
+from circuits_tpu.engine.witness import pack_rollup_inputs
+from circuits_tpu.models.rollup_main import rollup_main
+from circuits_tpu.r1cs import constraints as cc
+
+print(f"platform={jax.devices()[0].platform} nTx={N_TX} nLevels={NLEV} "
+      f"maxL1Tx={ML1} maxFeeTx={MFT}", flush=True)
+
+# --- host: populate accounts via L1 deposit batches (generate-input.js
+# populateDB equivalent) ---
+t0 = time.time()
+accounts = [HermezAccount(i + 1) for i in range(N_ACC)]
+db = RollupDB()
+added = 0
+while added < N_ACC:
+    bb = db.build_batch(N_TX, NLEV, ML1, MFT)
+    for acc in accounts[added:added + ML1]:
+        bb.add_tx(dict(fromIdx=0, loadAmountF=float40.fix2float(10_000_000),
+                       tokenID=1, fromBjjCompressed=acc.bjjCompressed,
+                       fromEthAddr=acc.ethAddr, toIdx=0, onChain=True))
+        added += 1
+    bb.build()
+    db.consolidate(bb)
+t_populate = time.time() - t0
+print(f"populate: {N_ACC} accounts in {t_populate:.1f}s "
+      f"({(N_ACC / t_populate):.0f} deposits/s)", flush=True)
+
+# --- host: the production batch — N_TX L2 transfers (ring) ---
+t0 = time.time()
+bb = db.build_batch(N_TX, NLEV, ML1, MFT)
+bb.add_token(1)
+bb.add_fee_idx(256)
+for i in range(N_TX):
+    tx = dict(fromIdx=256 + i, toIdx=256 + ((i + 1) % N_ACC), tokenID=1,
+              amount=1000, userFee=126, nonce=0, onChain=0)
+    accounts[i].sign_tx(tx)
+    bb.add_tx(tx)
+t_sign = time.time() - t0
+t0 = time.time()
+bb.build()
+t_build = time.time() - t0
+print(f"sign: {t_sign:.1f}s  build (im-chains, sequential SMT): "
+      f"{t_build:.1f}s ({N_TX / t_build:.0f} tx/s host)", flush=True)
+
+t0 = time.time()
+packed = pack_rollup_inputs(bb.get_input(), N_TX, NLEV, ML1, MFT)
+t_pack = time.time() - t0
+print(f"pack: {t_pack:.1f}s", flush=True)
+
+# --- device: compile + run ---
+fn = jax.jit(partial(rollup_main, n_tx=N_TX, n_levels=NLEV,
+                     max_l1_tx=ML1, max_fee_tx=MFT))
+t0 = time.time()
+out, ok = fn(packed)
+jax.block_until_ready((out, ok))
+t_compile = time.time() - t0
+ok_host = bool(np.asarray(ok))
+print(f"first call (compile+run): {t_compile:.1f}s ok={ok_host}",
+      flush=True)
+assert ok_host
+
+from circuits_tpu.field import fr
+
+got = fr.unpack_int(np.asarray(out["hash_global_inputs"]))
+want = bb.get_hash_inputs()
+assert got == want, "hashGlobalInputs mismatch vs builder oracle"
+print("hashGlobalInputs: EXACT vs builder oracle", flush=True)
+
+reps = 5
+times = []
+for _ in range(reps):
+    t0 = time.time()
+    out, ok = fn(packed)
+    jax.block_until_ready((out, ok))
+    times.append(time.time() - t0)
+blocked = float(np.median(times))
+t0 = time.time()
+outs = [fn(packed) for _ in range(reps)]
+jax.block_until_ready(outs)
+pipelined = (time.time() - t0) / reps
+
+try:
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use", 0) / 2**30
+except Exception:
+    peak = -1
+
+total_c = cc.total_constraints(N_TX, NLEV, ML1, MFT)
+print(f"witness: blocked_med={blocked:.3f}s pipelined={pipelined:.3f}s "
+      f"-> {N_TX / blocked:.0f} tx/s blocked, {N_TX / pipelined:.0f} tx/s "
+      f"pipelined", flush=True)
+print(f"constraint mass: {total_c:,} R1CS rows -> "
+      f"{total_c / blocked / 1e6:.0f}M constraints/s blocked", flush=True)
+print(f"device peak memory: {peak:.2f} GiB", flush=True)
+print(f"SUMMARY nTx={N_TX} populate={t_populate:.1f} sign={t_sign:.1f} "
+      f"build={t_build:.1f} pack={t_pack:.1f} compile={t_compile:.1f} "
+      f"blocked={blocked:.3f} pipelined={pipelined:.3f} peakGiB={peak:.2f}",
+      flush=True)

@@ -30,7 +30,10 @@ import jax  # noqa: E402
 # env override above is not enough; update the live config too.
 jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+# Same persistent-cache settings as every other entry point: a config
+# mismatch (this file used to set enable_xla_caches="all" vs "none"
+# elsewhere) changes the cache key and turns every cross-process reuse
+# into a cold compile (round-3 VERDICT weak #4).
+from circuits_tpu.utils.compile_opts import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(jax)

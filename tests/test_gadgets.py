@@ -48,6 +48,20 @@ def test_device_decode_float():
     assert got == [v[1] for v in FLOAT_VECTORS]
 
 
+def test_mux256_all_selectors():
+    # reference test/lib/mux256.test.js: random 256-entry table, every
+    # selector returns its entry
+    from circuits_tpu.ops.gadgets import mux256
+    import jax
+
+    table_vals = [rng.randrange(2 ** 253) for _ in range(256)]
+    table = jnp.asarray(fr.pack_np(table_vals).T)  # (256, 16) limb rows
+    sel = jnp.asarray(np.arange(256, dtype=np.uint32))
+    out = jax.jit(mux256)(sel, table)
+    got = [int(v) for v in fr.unpack_np(np.asarray(out))]
+    assert got == table_vals
+
+
 def test_compute_fee_all_selectors():
     """Sweep all 256 fee selectors (test/compute-fee.test.js:33-91)."""
     amount = 10 ** 18

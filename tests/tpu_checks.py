@@ -50,6 +50,20 @@ def main():
         best = min(ts)
         print(f"poseidon pallas t={t}: {B/best/1e6:.3f} Mhash/s")
 
+    # fused SMT chain + EdDSA kernels vs the XLA paths (shared check
+    # bodies with tests/test_pallas_kernels.py, which skips off-TPU)
+    from tests.test_pallas_kernels import check_pallas_smt, check_pallas_eddsa
+
+    check_pallas_smt()
+    print("smt pallas chain: bit-exact vs XLA (insert/pushdown/update/nop)")
+    check_pallas_eddsa()
+    print("eddsa pallas: agrees with XLA (valid/tampered/disabled lanes)")
+
+    from tests.test_sha256 import check_sha256_xla_path
+
+    check_sha256_xla_path()
+    print("sha256 XLA scan path: matches hashlib")
+
     print("ALL TPU CHECKS PASSED")
 
 

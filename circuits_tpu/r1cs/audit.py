@@ -200,7 +200,7 @@ EXTRA_RESIDUALS = {
     "circomlib SMTProcessor old-root validity": (
         "circuits_tpu/ops/smt.py", "fr.eq(computed_old, old_root)"),
     "circomlib SMTProcessor top-sibling-zero (SMTLevIns)": (
-        "circuits_tpu/ops/smt.py", "fr.is_zero(siblings[n - 1])"),
+        "circuits_tpu/ops/smt.py", "fr.is_zero(top_sibling)"),
     "circomlib SMTVerifier root match": (
         "circuits_tpu/ops/smt.py", "fr.eq(child, root)"),
     "circomlib EdDSAPoseidonVerifier identity": (

@@ -9,15 +9,25 @@ specialization (no circom/nasm/g++ stages):
                                             persistent XLA cache
   input   nAccounts nTransfers [nTx nLevels maxL1Tx maxFeeTx]
                                          -> generate inputs-N.json
+  compilewitness [params]                -> alias of compile: the
+                                            reference's circom->C++->g++
+                                            pipeline (actions.js:98-130)
+                                            is one jit specialization here
   witness input.json output.json [params]-> evaluate witness, write
                                             public outputs + verdict
   check   input.json [params]            -> constraint verdict only
+  trace   input.json [params] [signal]   -> printSignals equivalent:
+                                            dump the named-signal catalog
+                                            (or one signal) per tx lane
+  audit                                  -> r1cs residual audit report
+  zkey / solidity                        -> out of scope (documented):
+                                            Groth16 proving/verifier
+                                            export stays with snarkjs
 """
 
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 from pathlib import Path
@@ -69,9 +79,8 @@ def cmd_compile(args):
     from circuits_tpu.r1cs.constraints import total_constraints
 
     n_tx, n_levels, max_l1, max_fee = map(int, args[:4])
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from circuits_tpu.utils.compile_opts import enable_persistent_cache
+    enable_persistent_cache(jax)
     t0 = time.time()
     eng = RollupEngine(n_tx, n_levels, max_l1, max_fee)
     from __graft_entry__ import _build_packed  # noqa  (example inputs)
@@ -168,6 +177,41 @@ def cmd_check(args):
     sys.exit(0 if ok else 1)
 
 
+def cmd_trace(args):
+    """printSignals equivalent (reference test/helpers/helpers.js:168-188):
+    dump every cataloged internal signal — or one named signal — per lane."""
+    from circuits_tpu.engine.witness import RollupEngine
+
+    inp = _parse(json.loads(Path(args[0]).read_text()))
+    params = _load_params(args, 1)
+    eng = RollupEngine(*params)
+    if len(args) > 5:
+        name = args[5]
+        print(json.dumps({name: _stringify(eng.get_signal(inp, name))}))
+        return
+    tr = eng.trace(inp)
+    print(json.dumps(_stringify(tr), indent=1))
+
+
+def cmd_audit(_args):
+    from circuits_tpu.r1cs.audit import report
+
+    print(report())
+
+
+def cmd_out_of_scope(verb):
+    def fn(_args):
+        raise SystemExit(
+            f"'{verb}' is out of scope by design: this framework replaces "
+            "the reference's witness generation and constraint checking "
+            "(layers L1-L5 + the witness-validity half of L6, SURVEY.md "
+            "§1); Groth16 setup/proving and Solidity verifier export "
+            "remain snarkjs's job (reference tools/helpers/"
+            "actions.js:148-205) and consume this engine's witness "
+            "output unchanged.")
+    return fn
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
@@ -175,8 +219,11 @@ def main(argv=None):
         return
     verb, args = argv[0], argv[1:]
     fn = {"create": cmd_create, "compile": cmd_compile,
+          "compilewitness": cmd_compile,
           "input": cmd_input, "witness": cmd_witness,
-          "check": cmd_check}.get(verb)
+          "check": cmd_check, "trace": cmd_trace, "audit": cmd_audit,
+          "zkey": cmd_out_of_scope("zkey"),
+          "solidity": cmd_out_of_scope("solidity")}.get(verb)
     if fn is None:
         raise SystemExit(f"unknown verb {verb!r}")
     fn(args)

@@ -93,6 +93,54 @@ def build_chains(inp: dict, n_tx: int, max_fee_tx: int) -> dict:
     )
 
 
+def build_tx_inputs(inp: dict, chains: dict, dec: dict, n_tx: int,
+                    max_fee_tx: int, neighbors) -> dict:
+    """Assemble the RollupTx model's input dict from packed batch inputs
+    + chains + decode outputs. Shared by rollup_main_lanes and the
+    single-tx slicer (tests, the getSingleTxInput equivalent —
+    reference test/helpers/helpers.js:45-137). Every entry carries the
+    tx-lane axis LAST."""
+    fut_v2, past_v2, fut_eth, past_eth, fut_ay, past_ay = neighbors
+    fee_plan = jnp.broadcast_to(
+        jnp.moveaxis(inp["fee_plan_tokens"], 1, 0)[:, :, None],
+        (max_fee_tx, 16, n_tx))
+    return dict(
+        fee_plan_tokens=fee_plan,
+        acc_fee_in=chains["acc_fee_in"],
+        future_tx_v2=fut_v2, past_tx_v2=past_v2,
+        future_to_eth=fut_eth, past_to_eth=past_eth,
+        future_to_ay=fut_ay, past_to_ay=past_ay,
+        from_idx=dec["from_idx"], aux_from_idx=inp["aux_from_idx"],
+        to_idx=dec["to_idx"], aux_to_idx=inp["aux_to_idx"],
+        to_bjj_ay=inp["to_bjj_ay"], to_bjj_sign=dec["to_bjj_sign"],
+        to_eth_addr=inp["to_eth_addr"],
+        amount=dec["amount"], token_id=dec["token_id"],
+        nonce=dec["nonce"], user_fee_sel=fr.low_u32(dec["user_fee"]),
+        rq_offset=inp["rq_offset"].astype(jnp.uint32),
+        on_chain=inp["on_chain"], new_account=inp["new_account"],
+        rq_tx_v2=inp["rq_tx_compressed_data_v2"],
+        rq_to_eth=inp["rq_to_eth_addr"], rq_to_ay=inp["rq_to_bjj_ay"],
+        sig_l2_hash=dec["sig_l2_hash"],
+        s=inp["s"], r8x=inp["r8x"], r8y=inp["r8y"],
+        from_eth_addr=inp["from_eth_addr"],
+        from_bjj_compressed=inp["from_bjj_compressed"],
+        load_amount_f=inp["load_amount_f"],
+        token_id1=inp["token_id1"], nonce1=inp["nonce1"],
+        sign1=inp["sign1"], balance1=inp["balance1"], ay1=inp["ay1"],
+        eth_addr1=inp["eth_addr1"], siblings1=inp["siblings1"],
+        is_old0_1=inp["is_old0_1"], old_key1=inp["old_key1"],
+        old_value1=inp["old_value1"],
+        token_id2=inp["token_id2"], nonce2=inp["nonce2"],
+        sign2=inp["sign2"], balance2=inp["balance2"],
+        new_exit=inp["new_exit"], ay2=inp["ay2"],
+        eth_addr2=inp["eth_addr2"], siblings2=inp["siblings2"],
+        is_old0_2=inp["is_old0_2"], old_key2=inp["old_key2"],
+        old_value2=inp["old_value2"],
+        old_state_root=chains["old_state_root"],
+        old_exit_root=chains["old_exit_root"],
+    )
+
+
 def rollup_main_lanes(inp: dict, chains: dict, n_tx: int, n_levels: int,
                       max_fee_tx: int, neighbors=None, last_mask=None,
                       debug: bool = False):
@@ -143,45 +191,9 @@ def rollup_main_lanes(inp: dict, chains: dict, n_tx: int, n_levels: int,
     else:
         fut_v2, past_v2, fut_eth, past_eth, fut_ay, past_ay = neighbors
 
-    fee_plan = jnp.broadcast_to(
-        jnp.moveaxis(inp["fee_plan_tokens"], 1, 0)[:, :, None],
-        (max_fee_tx, 16, n_tx))
-
-    tx_in = dict(
-        fee_plan_tokens=fee_plan,
-        acc_fee_in=chains["acc_fee_in"],
-        future_tx_v2=fut_v2, past_tx_v2=past_v2,
-        future_to_eth=fut_eth, past_to_eth=past_eth,
-        future_to_ay=fut_ay, past_to_ay=past_ay,
-        from_idx=dec["from_idx"], aux_from_idx=inp["aux_from_idx"],
-        to_idx=dec["to_idx"], aux_to_idx=inp["aux_to_idx"],
-        to_bjj_ay=inp["to_bjj_ay"], to_bjj_sign=dec["to_bjj_sign"],
-        to_eth_addr=inp["to_eth_addr"],
-        amount=dec["amount"], token_id=dec["token_id"],
-        nonce=dec["nonce"], user_fee_sel=fr.low_u32(dec["user_fee"]),
-        rq_offset=inp["rq_offset"].astype(jnp.uint32),
-        on_chain=inp["on_chain"], new_account=inp["new_account"],
-        rq_tx_v2=inp["rq_tx_compressed_data_v2"],
-        rq_to_eth=inp["rq_to_eth_addr"], rq_to_ay=inp["rq_to_bjj_ay"],
-        sig_l2_hash=dec["sig_l2_hash"],
-        s=inp["s"], r8x=inp["r8x"], r8y=inp["r8y"],
-        from_eth_addr=inp["from_eth_addr"],
-        from_bjj_compressed=inp["from_bjj_compressed"],
-        load_amount_f=inp["load_amount_f"],
-        token_id1=inp["token_id1"], nonce1=inp["nonce1"],
-        sign1=inp["sign1"], balance1=inp["balance1"], ay1=inp["ay1"],
-        eth_addr1=inp["eth_addr1"], siblings1=inp["siblings1"],
-        is_old0_1=inp["is_old0_1"], old_key1=inp["old_key1"],
-        old_value1=inp["old_value1"],
-        token_id2=inp["token_id2"], nonce2=inp["nonce2"],
-        sign2=inp["sign2"], balance2=inp["balance2"],
-        new_exit=inp["new_exit"], ay2=inp["ay2"],
-        eth_addr2=inp["eth_addr2"], siblings2=inp["siblings2"],
-        is_old0_2=inp["is_old0_2"], old_key2=inp["old_key2"],
-        old_value2=inp["old_value2"],
-        old_state_root=chains["old_state_root"],
-        old_exit_root=chains["old_exit_root"],
-    )
+    tx_in = build_tx_inputs(inp, chains, dec, n_tx, max_fee_tx,
+                            (fut_v2, past_v2, fut_eth, past_eth,
+                             fut_ay, past_ay))
     txo, tx_ok = rollup_tx(tx_in, n_levels, debug=debug)
     lane_ok = lane_ok & tx_ok
 

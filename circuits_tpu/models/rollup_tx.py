@@ -20,7 +20,6 @@ from ..field import fr
 from ..ops import babyjubjub as bjj
 from ..ops.gadgets import decode_float_bin, fits_bits
 from ..ops.poseidon import poseidon
-from ..ops.smt import processor as smt_processor
 from .tx_states import rollup_tx_states
 from .balance_updater import balance_updater
 from .fee_accumulator import fee_accumulator
@@ -175,19 +174,49 @@ def rollup_tx(inp: dict, n_levels: int, debug: bool = False):
         (s2_token, s2_nonce, s2_sign, bal["new_balance_receiver"],
          s2_ay, s2_eth))
 
-    # J - SMT processors (:534-570)
-    p1_root, p1_ok = smt_processor(
-        inp["old_state_root"], inp["siblings1"], s1_old_key, s1_old_value,
-        inp["is_old0_1"], st["key1"], new_st1,
-        st["p1_fnc0"], st["p1_fnc1"])
+    # J - SMT processors (:534-570). The hash chains never read the
+    # root (it only gates the final check/mux), so both instances run as
+    # ONE 2x-wider processor_chains call — one Pallas launch instead of
+    # two, full lane utilization for the hottest kernel.
+    from ..ops.smt import processor_chains, processor_check
+
+    p2_active = bal["is_p2_nop"]  # circuit name; 1 = processor 2 enabled
+    nlimb = new_st1.shape[0]
+
+    def cat2(a, b, flag=False):
+        if flag:
+            return jnp.concatenate([a.reshape(-1), b.reshape(-1)], axis=-1)
+        return jnp.concatenate(
+            [a.reshape(a.shape[0], nlimb, -1) if a.ndim == 3 else
+             a.reshape(nlimb, -1),
+             b.reshape(b.shape[0], nlimb, -1) if b.ndim == 3 else
+             b.reshape(nlimb, -1)], axis=-1)
+
+    co, cn, en = processor_chains(
+        cat2(inp["siblings1"], inp["siblings2"]),
+        cat2(s1_old_key, s2_old_key), cat2(s1_old_value, s2_old_value),
+        cat2(inp["is_old0_1"], inp["is_old0_2"], flag=True),
+        cat2(st["key1"], st["key2"]), cat2(new_st1, new_st2),
+        cat2(st["p1_fnc0"], st["p2_fnc0"] & p2_active, flag=True),
+        cat2(st["p1_fnc1"], st["p2_fnc1"] & p2_active, flag=True))
+    bsz = new_st1.shape[-1]
+
+    def split2(x):
+        return x[..., :bsz].reshape(new_st1.shape), \
+            x[..., bsz:].reshape(new_st1.shape)
+
+    co1, co2 = split2(co)
+    cn1, cn2 = split2(cn)
+    en1, en2 = en[:bsz].reshape(bshape), en[bsz:].reshape(bshape)
+
+    n_sib = inp["siblings1"].shape[0]
+    p1_root, p1_ok = processor_check(
+        inp["old_state_root"], co1, cn1, en1, inp["siblings1"][n_sib - 1])
     ok = ok & p1_ok
 
     p2_old_root = fr.select(st["is_exit"], inp["old_exit_root"], p1_root)
-    p2_active = bal["is_p2_nop"]  # circuit name; 1 = processor 2 enabled
-    p2_root, p2_ok = smt_processor(
-        p2_old_root, inp["siblings2"], s2_old_key, s2_old_value,
-        inp["is_old0_2"], st["key2"], new_st2,
-        st["p2_fnc0"] & p2_active, st["p2_fnc1"] & p2_active)
+    p2_root, p2_ok = processor_check(
+        p2_old_root, co2, cn2, en2, inp["siblings2"][n_sib - 1])
     ok = ok & p2_ok
 
     # K - output roots (:572-590)

@@ -179,9 +179,120 @@ def _mix(s, Mc, t):
     return _stackl(_mont_reduce(cols, nsum=t))
 
 
+def _addv(a, b):
+    """Elementwise mod-p add of two (..., 16, S, 128) canonical stacks."""
+    cols = [_limb(a, i) + _limb(b, i) for i in range(N_LIMBS)]
+    return _stackl(_sub_if_ge(_carry_prop(cols), P)[:N_LIMBS])
+
+
+# ---------------------------------------------------------------------------
+# Optimized partial-round schedule (sparse factorization; constants from
+# poseidon_constants.optimized_constants — bit-exact to the naive order).
+# Per partial round: 1 S-box + t muls/1 reduction (row 0) + (t-1) muls
+# (column tail) instead of t^2 muls/t reductions for the dense mix.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _np_opt_constants(t: int):
+    from .poseidon_constants import optimized_constants
+
+    oc = optimized_constants(t)
+    rf, rp = N_ROUNDS_F, N_ROUNDS_P[t - 2]
+
+    def vec_c(rows, shape_tail):  # -> (n, t', 16) Montgomery limbs
+        arr = np.zeros((len(rows), len(rows[0]), N_LIMBS) + shape_tail,
+                       dtype=np.uint32)
+        for r, row in enumerate(rows):
+            for i, v in enumerate(row):
+                arr[(r, i)] = np.array(
+                    _mont_limbs(v), dtype=np.uint32).reshape(
+                        (N_LIMBS,) + (1,) * len(shape_tail))
+        return arr
+
+    CF = vec_c(oc["full_c"], (1, 1))                      # (rf, t, 16,1,1)
+    D = vec_c([oc["d"]], (1, 1))[0]                       # (t, 16, 1, 1)
+    E = vec_c([[v] for v in oc["e"]], (1, 1))             # (rp, 1, 16,1,1)
+    Mc = np.zeros((t, t, N_LIMBS, 1, LANES), dtype=np.uint32)
+    PS = np.zeros_like(Mc)
+    for i in range(t):
+        for j in range(t):
+            Mc[i, j, :, 0, :] = np.array(
+                _mont_limbs(oc["m"][i][j]), dtype=np.uint32)[:, None]
+            PS[i, j, :, 0, :] = np.array(
+                _mont_limbs(oc["pre_sparse"][i][j]),
+                dtype=np.uint32)[:, None]
+    SR = np.zeros((rp, t, N_LIMBS, 1, LANES), dtype=np.uint32)
+    SC = np.zeros((rp, max(t - 1, 1), N_LIMBS, 1, LANES), dtype=np.uint32)
+    for r in range(rp):
+        for j in range(t):
+            SR[r, j, :, 0, :] = np.array(
+                _mont_limbs(oc["sparse_row"][r][j]),
+                dtype=np.uint32)[:, None]
+        for j in range(t - 1):
+            SC[r, j, :, 0, :] = np.array(
+                _mont_limbs(oc["sparse_col"][r][j]),
+                dtype=np.uint32)[:, None]
+    return CF, D, E, Mc, PS, SR, SC
+
+
+def permute_opt_body(state, cf_ref, d_ref, e_ref, m_ref, ps_ref, sr_ref,
+                     sc_ref, *, t: int):
+    """Shared in-kernel permutation body (optimized schedule); `state`
+    (t, 16, S, 128) Montgomery; const refs per _np_opt_constants."""
+    rf, rp = N_ROUNDS_F, N_ROUNDS_P[t - 2]
+    half = rf // 2
+    Mc = m_ref[...]
+
+    def full_round(r, s):
+        s = _add_c(s, cf_ref[r])
+        s = _pow5(s)
+        return _mix(s, Mc, t)
+
+    state = jax.lax.fori_loop(0, half - 1, full_round, state)
+    state = _add_c(state, cf_ref[half - 1])
+    state = _pow5(state)
+    state = _mix(state, ps_ref[...], t)      # pre-sparse mix
+    state = _add_c(state, d_ref[...])        # first partial round's ARK
+
+    def partial(r, s):
+        s0 = _pow5(s[0:1])
+        s0 = _add_c(s0, e_ref[r])
+        s = jnp.concatenate([s0, s[1:]], axis=0)
+        # row 0: one summed-column Montgomery reduction over t products
+        cols = _schoolbook(s, sr_ref[r])     # lists of (t, S, 128)
+        rowc = []
+        for c in cols:
+            acc = c[0]
+            for j in range(1, t):
+                acc = acc + c[j]
+            rowc.append(acc)
+        out0 = _stackl(_mont_reduce(rowc, nsum=t))[None]
+        # column tail: s[j] += SC[r][j-1] * s0
+        prods = _stackl(_mont_reduce(
+            _schoolbook(jnp.broadcast_to(s0, (t - 1,) + s0.shape[1:]),
+                        sc_ref[r]), nsum=1))
+        return jnp.concatenate([out0, _addv(s[1:], prods)], axis=0)
+
+    state = jax.lax.fori_loop(0, rp, partial, state)
+    return jax.lax.fori_loop(half, rf, full_round, state)
+
+
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
+
+
+def _opt_kernel(x_ref, cf_ref, d_ref, e_ref, m_ref, ps_ref, sr_ref,
+                sc_ref, o_ref, *, t: int):
+    o_ref[...] = permute_opt_body(
+        x_ref[...], cf_ref, d_ref, e_ref, m_ref, ps_ref, sr_ref, sc_ref,
+        t=t)
+
+
+def _use_sparse() -> bool:
+    import os
+    return os.environ.get("CTPU_POSEIDON_SPARSE", "1") not in ("0", "false")
 
 
 def _kernel(x_ref, c_ref, m_ref, o_ref, *, t: int):
@@ -209,12 +320,37 @@ def _kernel(x_ref, c_ref, m_ref, o_ref, *, t: int):
     o_ref[...] = state
 
 
+def _const_spec(arr):
+    return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                        memory_space=pltpu.VMEM)
+
+
 @lru_cache(maxsize=None)
 def _compiled(t: int, s: int, nb: int, interpret: bool):
-    Cc, Mc, rf, rp = _np_constants(t)
-    nr = rf + rp
     spec = pl.BlockSpec((t, N_LIMBS, s, LANES), lambda i: (0, 0, i, 0),
                         memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((t, N_LIMBS, nb * s, LANES),
+                                     jnp.uint32)
+    if _use_sparse():
+        consts = _np_opt_constants(t)
+        call = pl.pallas_call(
+            partial(_opt_kernel, t=t),
+            grid=(nb,),
+            in_specs=[spec] + [_const_spec(c) for c in consts],
+            out_specs=spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            # the t=7 sparse partial body needs ~17M of scoped vmem
+            # (16M default limit) — same raise as pallas_smt/_eddsa
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+        # NOTE: keep the constants as numpy in the closure — a
+        # jnp.asarray here would materialize inside whatever trace first
+        # calls this (lru_cache outlives the trace).
+        return jax.jit(lambda x: call(x, *consts))
+    Cc, Mc, rf, rp = _np_constants(t)
+    nr = rf + rp
     cspec = pl.BlockSpec((nr, t, N_LIMBS, 1, 1), lambda i: (0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((t, t, N_LIMBS, 1, LANES),
@@ -225,13 +361,9 @@ def _compiled(t: int, s: int, nb: int, interpret: bool):
         grid=(nb,),
         in_specs=[spec, cspec, mspec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((t, N_LIMBS, nb * s, LANES),
-                                       jnp.uint32),
+        out_shape=out_shape,
         interpret=interpret,
     )
-    # NOTE: keep the constants as numpy in the closure — a jnp.asarray
-    # here would materialize inside whatever trace first calls this
-    # (lru_cache outlives the trace -> UnexpectedTracerError).
     return jax.jit(lambda x: call(x, Cc, Mc))
 
 

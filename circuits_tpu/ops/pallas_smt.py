@@ -26,8 +26,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..field.scalar import R2, N_LIMBS, to_limbs
-from .pallas_poseidon import (LANES, _np_constants, _add_c, _pow5, _mix,
-                              _block_shape)
+from .pallas_poseidon import (LANES, _np_constants, _np_opt_constants,
+                              _add_c, _pow5, _mix, _block_shape,
+                              _const_spec, _use_sparse, permute_opt_body)
 from .pallas_eddsa import _mm_const
 
 _R2_LIMBS = to_limbs(R2)
@@ -39,25 +40,42 @@ def _sel(m, a, b):
     return jnp.where((m != 0)[None], a, b)
 
 
-def _kernel(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, c_ref,
-            m_ref, out_ref, *, n: int, t: int, rf: int, rp: int):
+def _kernel(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, *refs,
+            n: int, t: int, rf: int, rp: int, sparse: bool):
+    out_ref = refs[-1]
     old1 = old1_ref[...]
     new1 = new1_ref[...]
     zero = jnp.zeros_like(old1)
-    Mc = m_ref[...]
     half = rf // 2
     s_sub = old1.shape[-2]
 
-    def full_round(r, s):
-        s = _add_c(s, c_ref[r])
-        s = _pow5(s)
-        return _mix(s, Mc, t)
+    if sparse:
+        cf_ref, d_ref, e_ref, m_ref, ps_ref, sr_ref, sc_ref = refs[:-1]
 
-    def partial_round(r, s):
-        s = _add_c(s, c_ref[r])
-        s0 = _pow5(s[0:1])
-        s = jnp.concatenate([s0, s[1:]], axis=0)
-        return _mix(s, Mc, t)
+        def run_permute(state):
+            return permute_opt_body(state, cf_ref, d_ref, e_ref, m_ref,
+                                    ps_ref, sr_ref, sc_ref, t=t)
+    else:
+        c_ref, m_ref = refs[:-1]
+        Mc = m_ref[...]
+
+        def full_round(r, s):
+            s = _add_c(s, c_ref[r])
+            s = _pow5(s)
+            return _mix(s, Mc, t)
+
+        def partial_round(r, s):
+            s = _add_c(s, c_ref[r])
+            s0 = _pow5(s[0:1])
+            s = jnp.concatenate([s0, s[1:]], axis=0)
+            return _mix(s, Mc, t)
+
+        def run_permute(state):
+            state = jax.lax.fori_loop(0, half, full_round, state)
+            state = jax.lax.fori_loop(half, half + rp, partial_round,
+                                      state)
+            return jax.lax.fori_loop(half + rp, rf + rp, full_round,
+                                     state)
 
     def level(i, carry):
         oldc, newc = carry
@@ -78,9 +96,7 @@ def _kernel(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, c_ref,
         state = jnp.stack([jnp.zeros_like(ls),
                            _mm_const(ls, _R2_LIMBS),
                            _mm_const(rs, _R2_LIMBS)])  # mont domain
-        state = jax.lax.fori_loop(0, half, full_round, state)
-        state = jax.lax.fori_loop(half, half + rp, partial_round, state)
-        state = jax.lax.fori_loop(half + rp, rf + rp, full_round, state)
+        state = run_permute(state)
         h = _mm_const(state[0], _ONE_LIMBS)  # canonical (16, 4S, 128)
         oh = h[:, 0 * s_sub:1 * s_sub]
         nh = h[:, 1 * s_sub:2 * s_sub]
@@ -102,20 +118,20 @@ def _kernel(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, c_ref,
 
 @lru_cache(maxsize=None)
 def _compiled(n: int, s: int, nb: int, interpret: bool):
-    Cc, Mc, rf, rp = _np_constants(3)
+    _, _, rf, rp = _np_constants(3)
+    sparse = _use_sparse()
+    consts = (_np_opt_constants(3) if sparse
+              else _np_constants(3)[:2])
     lev = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * (len(shape) - 2)
                                      + (i, 0), memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec(Cc.shape, lambda i: (0,) * 5,
-                         memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec(Mc.shape, lambda i: (0,) * 5,
-                         memory_space=pltpu.VMEM)
     from functools import partial
     call = pl.pallas_call(
-        partial(_kernel, n=n, t=3, rf=rf, rp=rp),
+        partial(_kernel, n=n, t=3, rf=rf, rp=rp, sparse=sparse),
         grid=(nb,),
         in_specs=[lev((n, N_LIMBS, s, LANES)), lev((n, s, LANES)),
                   lev((n, 5, s, LANES)), lev((N_LIMBS, s, LANES)),
-                  lev((N_LIMBS, s, LANES)), cspec, mspec],
+                  lev((N_LIMBS, s, LANES))] +
+                 [_const_spec(c) for c in consts],
         out_specs=lev((2, N_LIMBS, s, LANES)),
         out_shape=jax.ShapeDtypeStruct((2, N_LIMBS, nb * s, LANES),
                                        jnp.uint32),
@@ -123,7 +139,7 @@ def _compiled(n: int, s: int, nb: int, interpret: bool):
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )
-    return jax.jit(lambda *a: call(*a, Cc, Mc))
+    return jax.jit(lambda *a: call(*a, *consts))
 
 
 def processor_chain(sib_f, bits_f, masks_f, old1leaf, new1leaf, *,

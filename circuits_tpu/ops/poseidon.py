@@ -124,6 +124,9 @@ def _ffi_constants(t: int):
 
 def permute_mont(state_m: jnp.ndarray) -> jnp.ndarray:
     be = _backend()
+    if be == "mxu":
+        from .poseidon_mxu import permute_mont_mxu
+        return permute_mont_mxu(state_m)
     if be == "xla":
         from ..field import fr_ffi
         if fr_ffi.enabled():

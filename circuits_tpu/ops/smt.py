@@ -50,15 +50,16 @@ def _lev_ins(siblings):
     return suffix_all_zero & prev_nonzero
 
 
-def processor(old_root, siblings, old_key, old_value, is_old0,
-              new_key, new_value, fnc0, fnc1):
-    """Batched SMTProcessor(n) where n = siblings.shape[0].
-
-    All field args canonical (16, B); is_old0/fnc0/fnc1 are (B,) 0/1.
-    Returns (new_root, ok): ok False marks lanes whose proof does not match
-    old_root (the circuit's hard constraint failure)."""
+def processor_chains(siblings, old_key, old_value, is_old0,
+                     new_key, new_value, fnc0, fnc1):
+    """The root-independent 90% of SMTProcessor(n): state machine +
+    bottom-up hash chains. Returns (computed_old, computed_new,
+    f_delete, enabled) — the caller checks computed_old against its
+    old_root and muxes the output. Split out so independent processor
+    instances (the two per RollupTx) can run as ONE wider batch / one
+    Pallas launch: the chains read only the proof data, never the root."""
     n = siblings.shape[0]
-    bshape = old_root.shape[1:]
+    bshape = old_key.shape[1:]
     fnc0 = fnc0.astype(jnp.bool_)
     fnc1 = fnc1.astype(jnp.bool_)
     is0 = is_old0.astype(jnp.bool_)
@@ -100,7 +101,7 @@ def processor(old_root, siblings, old_key, old_value, is_old0,
         prev_top, prev_bot = top, bot
 
     # both leaf hashes in one 2x-batched poseidon call
-    nl_ = old_root.shape[0]
+    nl_ = old_key.shape[0]
     bs_ = 1
     for d in bshape:
         bs_ *= d
@@ -117,7 +118,7 @@ def processor(old_root, siblings, old_key, old_value, is_old0,
     # instances of one level (old chain, new chain, new1 pair, bot pair)
     # run as ONE poseidon call on a 4x batch — fewer nested scans to
     # compile, 4x wider lanes on the VPU. ---
-    nlimb = old_root.shape[0]
+    nlimb = old_key.shape[0]
     bsz = 1
     for d in bshape:
         bsz *= d
@@ -180,12 +181,32 @@ def processor(old_root, siblings, old_key, old_value, is_old0,
 
     computed_old = fr.select(f_delete, new_child, old_child)
     computed_new = fr.select(f_delete, old_child, new_child)
+    return computed_old, computed_new, enabled
 
+
+def processor_check(old_root, computed_old, computed_new, enabled,
+                    top_sibling):
+    """Root check + output mux (the old_root-dependent tail of
+    SMTProcessor). top_sibling: siblings[n-1] of this instance."""
     ok = ~enabled | fr.eq(computed_old, old_root)
     # top sibling must be zero when enabled (circomlib SMTLevIns check)
-    ok = ok & (~enabled | fr.is_zero(siblings[n - 1]))
+    ok = ok & (~enabled | fr.is_zero(top_sibling))
     new_root = fr.select(enabled, computed_new, old_root)
     return new_root, ok
+
+
+def processor(old_root, siblings, old_key, old_value, is_old0,
+              new_key, new_value, fnc0, fnc1):
+    """Batched SMTProcessor(n) where n = siblings.shape[0].
+
+    All field args canonical (16, B); is_old0/fnc0/fnc1 are (B,) 0/1.
+    Returns (new_root, ok): ok False marks lanes whose proof does not match
+    old_root (the circuit's hard constraint failure)."""
+    computed_old, computed_new, enabled = processor_chains(
+        siblings, old_key, old_value, is_old0, new_key, new_value,
+        fnc0, fnc1)
+    return processor_check(old_root, computed_old, computed_new, enabled,
+                           siblings[siblings.shape[0] - 1])
 
 
 def verifier(enabled, root, siblings, old_key, old_value, is_old0,

@@ -50,17 +50,10 @@ def banded(c_limbs, n_in, n_out):
     return W
 
 
-def normalize(cols, n_out):
-    """Log-convergent carry passes on int32 columns (8-bit radix).
-    cols: (B, n) float32/int32 -> (B, n_out) uint32 limbs < 256."""
-    c = cols.astype(jnp.int32)
-    if c.shape[1] < n_out:
-        c = jnp.pad(c, ((0, 0), (0, n_out - c.shape[1])))
-    for _ in range(6):  # values <= 2^22; extra passes absorb 255+1 ripples
-        lo = c & 255
-        hi = c >> 8
-        c = lo + jnp.pad(hi[:, :-1], ((0, 0), (1, 0)))
-    return c[:, :n_out]
+from circuits_tpu.ops.poseidon_mxu import _normalize as normalize  # noqa: E402
+# (the module version ends with an exact sequential carry scan — the
+# heuristic log-passes alone can leave a 255+carry ripple alive, which
+# this script's first version learned the hard way)
 
 
 def make_mont_const_mul(c: int):
@@ -137,12 +130,14 @@ def main():
     # --- timing: MXU pipeline ---
     xs = np.random.RandomState(0).randint(0, 256, size=(B, NL8))
     x8 = jnp.asarray(xs.astype(np.uint32))
-    jax.block_until_ready(f(x8))
-    reps = 50
-    t0 = time.time()
-    outs = [f(x8) for _ in range(reps)]
-    jax.block_until_ready(outs)
-    t_mxu = (time.time() - t0) / reps
+    np.asarray(f(x8)[0, 0])
+    reps = 20
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        np.asarray(f(x8)[0, 0])  # tiny fetch: the only hard barrier on axon
+        ts.append(time.time() - t0)
+    t_mxu = min(ts)
     print(f"MXU const-mul: {t_mxu * 1e6:.1f} us / {B} lanes "
           f"({B / t_mxu / 1e6:.1f} M muls/s)", flush=True)
 
@@ -150,11 +145,13 @@ def main():
     a16 = fr.pack([rng.randrange(P) for _ in range(64)] * (B // 64))
     c16 = fr.pack([c])
     g = jax.jit(fr.mont_mul)
-    jax.block_until_ready(g(a16, c16))
-    t0 = time.time()
-    outs = [g(a16, c16) for _ in range(reps)]
-    jax.block_until_ready(outs)
-    t_vpu = (time.time() - t0) / reps
+    np.asarray(g(a16, c16)[0, 0])
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        np.asarray(g(a16, c16)[0, 0])
+        ts.append(time.time() - t0)
+    t_vpu = min(ts)
     print(f"VPU mont_mul:  {t_vpu * 1e6:.1f} us / {B} lanes "
           f"({B / t_vpu / 1e6:.1f} M muls/s)", flush=True)
     print(f"MXU/VPU speedup: {t_vpu / t_mxu:.2f}x", flush=True)

@@ -38,6 +38,12 @@ _SYMBOLS = {
     "sha256_blocks": "Sha256Blocks",
 }
 
+# Targets whose every operand carries the batch dim on axis 0. fr_poseidon /
+# sha256_blocks take broadcast constants operands (round constants, MDS)
+# without a batch axis — marking those batch-partitionable would let an
+# auto-SPMD partitioner slice the constants and silently corrupt results.
+_BATCH_PARTITIONABLE = {"fr_mont_mul", "fr_add", "fr_sub", "fr_pow"}
+
 available = False
 _registered = False
 
@@ -82,10 +88,11 @@ def _register() -> None:
         for name, sym in _SYMBOLS.items():
             jax.ffi.register_ffi_target(
                 name, jax.ffi.pycapsule(getattr(lib, sym)), platform="cpu")
-            try:
-                jax.ffi.register_ffi_target_as_batch_partitionable(name)
-            except Exception:
-                pass  # partitionability is an optimization, not required
+            if name in _BATCH_PARTITIONABLE:
+                try:
+                    jax.ffi.register_ffi_target_as_batch_partitionable(name)
+                except Exception:
+                    pass  # partitionability is an optimization, not required
         available = True
     except OSError:
         return

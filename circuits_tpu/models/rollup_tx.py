@@ -14,6 +14,8 @@ the EdDSA ladder dominate the FLOPs (SURVEY.md §6).
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from ..field import fr
@@ -199,7 +201,9 @@ def rollup_tx(inp: dict, n_levels: int, debug: bool = False):
         cat2(st["key1"], st["key2"]), cat2(new_st1, new_st2),
         cat2(st["p1_fnc0"], st["p2_fnc0"] & p2_active, flag=True),
         cat2(st["p1_fnc1"], st["p2_fnc1"] & p2_active, flag=True))
-    bsz = new_st1.shape[-1]
+    # cat2 flattened all batch dims, so split on the flattened size (a
+    # multi-dim bshape would otherwise mis-slice on the last dim only)
+    bsz = math.prod(bshape)
 
     def split2(x):
         return x[..., :bsz].reshape(new_st1.shape), \

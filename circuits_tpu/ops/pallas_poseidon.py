@@ -290,9 +290,17 @@ def _opt_kernel(x_ref, cf_ref, d_ref, e_ref, m_ref, ps_ref, sr_ref,
         t=t)
 
 
+import os as _os
+
+# Read once at import: lru_cached compiles capture this value, so a
+# post-compile env flip would otherwise be silently ignored (and
+# pallas_poseidon / pallas_smt could even disagree if flipped between
+# their first compiles).
+_SPARSE = _os.environ.get("CTPU_POSEIDON_SPARSE", "1") not in ("0", "false")
+
+
 def _use_sparse() -> bool:
-    import os
-    return os.environ.get("CTPU_POSEIDON_SPARSE", "1") not in ("0", "false")
+    return _SPARSE
 
 
 def _kernel(x_ref, c_ref, m_ref, o_ref, *, t: int):

@@ -54,7 +54,7 @@ def processor_chains(siblings, old_key, old_value, is_old0,
                      new_key, new_value, fnc0, fnc1):
     """The root-independent 90% of SMTProcessor(n): state machine +
     bottom-up hash chains. Returns (computed_old, computed_new,
-    f_delete, enabled) — the caller checks computed_old against its
+    enabled) — the caller checks computed_old against its
     old_root and muxes the output. Split out so independent processor
     instances (the two per RollupTx) can run as ONE wider batch / one
     Pallas launch: the chains read only the proof data, never the root."""

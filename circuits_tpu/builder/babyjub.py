@@ -42,17 +42,56 @@ def add_point(p1, p2):
     return (x3, y3)
 
 
+# --- extended (Hisil et al. "add-2008-hwcd") coordinates for the scalar
+# multiply internals: (X, Y, Z, T) with x = X/Z, y = Y/Z, T = XY/Z. One
+# inversion per multiply instead of two per ADD — the affine ladder cost
+# ~80µs/add in `pow(.., -1, P)` and dominated host signing/population at
+# production scale (SCALING.md §2). The unified formula is complete on
+# BabyJubJub (a = 168700 is a QR mod p, d = 168696 is not).
+
+_EXT_IDENTITY = (0, 1, 1, 0)
+
+
+def _to_ext(pt):
+    x, y = pt
+    return (x, y, 1, x * y % P)
+
+
+def _from_ext(e):
+    x, y, z, _ = e
+    zi = pow(z, -1, P)
+    return (x * zi % P, y * zi % P)
+
+
+def _ext_add(p, q):
+    x1, y1, z1, t1 = p
+    x2, y2, z2, t2 = q
+    a_ = x1 * x2 % P
+    b_ = y1 * y2 % P
+    c_ = D * t1 * t2 % P
+    d_ = z1 * z2 % P
+    e_ = ((x1 + y1) * (x2 + y2) - a_ - b_) % P
+    f_ = (d_ - c_) % P
+    g_ = (d_ + c_) % P
+    h_ = (b_ - A * a_) % P
+    return (e_ * f_ % P, g_ * h_ % P, f_ * g_ % P, e_ * h_ % P)
+
+
+def _ext_mul(k: int, e):
+    acc = _EXT_IDENTITY
+    add = e
+    while k:
+        if k & 1:
+            acc = _ext_add(acc, add)
+        add = _ext_add(add, add)
+        k >>= 1
+    return acc
+
+
 def mul_point(k: int, pt):
     if pt == BASE8:
         return mul_base8(k)
-    acc = IDENTITY
-    add = pt
-    while k:
-        if k & 1:
-            acc = add_point(acc, add)
-        add = add_point(add, add)
-        k >>= 1
-    return acc
+    return mul_point_generic(k, pt)
 
 
 _BASE8_COMB: list | None = None
@@ -60,39 +99,33 @@ _BASE8_COMB: list | None = None
 
 def mul_base8(k: int):
     """Fixed-base multiply by BASE8 via an 8-bit comb table (built once):
-    ~32 adds instead of ~500 double+adds. The host signer does two B8
-    multiplies per signature (prv2pub + the nonce point) — this is the
-    batch-preparation hot path at production scale (SCALING.md §2)."""
+    ~32 extended-coordinate adds + one inversion instead of ~500 affine
+    double+adds. The host signer does two B8 multiplies per signature
+    (prv2pub + the nonce point) — the batch-preparation hot path at
+    production scale (SCALING.md §2)."""
     global _BASE8_COMB
     if _BASE8_COMB is None:
         tab = []
-        base = BASE8
+        base = _to_ext(BASE8)
         for _ in range(32):           # windows of 8 bits
-            row = [IDENTITY]
+            row = [_EXT_IDENTITY]
             for _ in range(255):
-                row.append(add_point(row[-1], base))
+                row.append(_ext_add(row[-1], base))
             tab.append(row)
-            base = mul_point_generic(256, base)
+            base = _ext_mul(256, base)
         _BASE8_COMB = tab
     if k >> 256:
         return mul_point_generic(k, BASE8)
-    acc = IDENTITY
+    acc = _EXT_IDENTITY
     for w in range(32):
         d = (k >> (8 * w)) & 0xFF
         if d:
-            acc = add_point(acc, _BASE8_COMB[w][d])
-    return acc
+            acc = _ext_add(acc, _BASE8_COMB[w][d])
+    return _from_ext(acc)
 
 
 def mul_point_generic(k: int, pt):
-    acc = IDENTITY
-    add = pt
-    while k:
-        if k & 1:
-            acc = add_point(acc, add)
-        add = add_point(add, add)
-        k >>= 1
-    return acc
+    return _from_ext(_ext_mul(k, _to_ext(pt)))
 
 
 def in_curve(pt) -> bool:

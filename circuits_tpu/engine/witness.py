@@ -234,6 +234,30 @@ class RollupEngine:
             self._trace_fn = jax.jit(fn)
         return self._trace_fn(self.pack(inp))
 
+    def _full_debug(self, inp: dict):
+        """One debug evaluation of the WHOLE circuit (lanes + fee phase +
+        global hash) with every intermediate materialized — the witness-
+        vector export path (engine/witness_vector.py). Returns
+        (lanes, lane_ok, outputs, ok)."""
+        from ..models.rollup_main import (build_chains, global_tail,
+                                          rollup_main_lanes)
+
+        n_tx, n_levels, max_l1_tx, max_fee_tx = self.params
+        if not hasattr(self, "_full_debug_fn"):
+            def fn(packed):
+                chains = build_chains(packed, n_tx, max_fee_tx)
+                lanes, lane_ok = rollup_main_lanes(
+                    packed, chains, n_tx, n_levels, max_fee_tx, debug=True)
+                out, tail_ok = global_tail(packed, lanes, n_tx, n_levels,
+                                           max_l1_tx, max_fee_tx,
+                                           debug=True)
+                ok = (jnp.all(lane_ok) & tail_ok
+                      & jnp.all(packed["im_on_chain"] <= 1))
+                return lanes, lane_ok, out, ok
+
+            self._full_debug_fn = jax.jit(fn)
+        return self._full_debug_fn(self.pack(inp))
+
     @staticmethod
     def _lookup(lanes: dict, path: tuple):
         v = lanes

@@ -17,9 +17,11 @@ from .rollup_tx import hash_state_pair
 def fee_tx(
     old_state_root, fee_plan_token, fee_idx, acc_fee,
     token_id, nonce, sign, balance, ay, eth_addr, siblings,
+    debug: bool = False,
 ):
     """All field args (16, B); siblings (nLevels+1, 16, B); sign (B,).
-    Returns (new_state_root, ok)."""
+    Returns (new_state_root, ok), plus an intermediates dict when
+    debug=True (witness-vector export)."""
     fee_idx_zero = fr.is_zero(fee_idx)
     active = ~fee_idx_zero
 
@@ -35,4 +37,8 @@ def fee_tx(
         old_state_root, siblings, fee_idx, old_hash,
         jnp.zeros(active.shape, dtype=jnp.bool_), fee_idx, new_hash,
         jnp.zeros(active.shape, dtype=jnp.bool_), active)  # fnc=UPDATE|NOP
+    if debug:
+        dbg = dict(old_state_hash=old_hash, new_state_hash=new_hash,
+                   new_balance=new_balance)
+        return new_root, ok & p_ok, dbg
     return new_root, ok & p_ok

@@ -223,23 +223,28 @@ def rollup_main_lanes(inp: dict, chains: dict, n_tx: int, n_levels: int,
                        ("states", "balance", "old_state_hash1",
                         "old_state_hash2", "new_state_hash1",
                         "new_state_hash2", "sig_ax", "p1_new_root",
-                        "p2_new_root")}
+                        "p2_new_root",
+                        # witness-vector catalog (witness_vector.py)
+                        "decode_ay", "decode_sign", "s1", "s2",
+                        "new_nonce1", "sig_ay", "sig_sign",
+                        "p1_enabled", "p2_enabled")}
     return lanes, lane_ok
 
 
 def global_tail(inp: dict, lanes: dict, n_tx: int, n_levels: int,
-                max_l1_tx: int, max_fee_tx: int):
+                max_l1_tx: int, max_fee_tx: int, debug: bool = False):
     """Phases F–H: fee transactions, fee-chain integrity, global SHA256.
     `lanes` must carry FULL-width (all-T-lane) arrays — the sharded path
     all-gathers its shards before calling. Returns (outputs, ok)."""
     # F - fee transactions (:391-417), batched over the F slot axis
     fee_old_root = jnp.concatenate(
         [inp["im_init_state_root_fee"], inp["im_state_root_fee"]], axis=-1)
-    fee_root, fee_ok = fee_tx(
+    fee_res = fee_tx(
         fee_old_root, inp["fee_plan_tokens"], inp["fee_idxs"],
         inp["im_final_acc_fee"],
         inp["token_id3"], inp["nonce3"], inp["sign3"], inp["balance3"],
-        inp["ay3"], inp["eth_addr3"], inp["siblings3"])
+        inp["ay3"], inp["eth_addr3"], inp["siblings3"], debug=debug)
+    fee_root, fee_ok = fee_res[0], fee_res[1]
     ok_all = jnp.all(fee_ok)
 
     # G - fee im integrity (:419-424)
@@ -276,6 +281,8 @@ def global_tail(inp: dict, lanes: dict, n_tx: int, n_levels: int,
         new_last_idx=new_last_idx,
         acc_fee_out=lanes["acc_fee_out"][:, :, -1],
     )
+    if debug:
+        outputs["fee"] = dict(fee_res[2], new_root=fee_root)
     return outputs, ok_all
 
 

@@ -244,4 +244,22 @@ def rollup_tx(inp: dict, n_levels: int, debug: bool = False):
         outputs["sig_ax"] = ax
         outputs["p1_new_root"] = p1_root
         outputs["p2_new_root"] = p2_root
+        # the full intermediate catalog for witness-vector export
+        # (engine/witness_vector.py): decompressed key, phase-E leaf mux
+        # bank, nonce bump, EdDSA challenge inputs, processor enables
+        outputs["decode_ay"] = decode_ay
+        outputs["decode_sign"] = decode_sign
+        outputs["s1"] = dict(balance=s1_balance, sign=s1_sign, ay=s1_ay,
+                             nonce=s1_nonce, eth_addr=s1_eth,
+                             token_id=s1_token, old_key=s1_old_key,
+                             old_value=s1_old_value)
+        outputs["s2"] = dict(balance=s2_balance, sign=s2_sign, ay=s2_ay,
+                             nonce=s2_nonce, eth_addr=s2_eth,
+                             token_id=s2_token, old_key=s2_old_key,
+                             old_value=s2_old_value)
+        outputs["new_nonce1"] = new_nonce1
+        outputs["sig_ay"] = sig_ay
+        outputs["sig_sign"] = sig_sign
+        outputs["p1_enabled"] = en1
+        outputs["p2_enabled"] = en2
     return outputs, ok

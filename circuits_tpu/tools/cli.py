@@ -15,6 +15,14 @@ specialization (no circom/nasm/g++ stages):
                                             is one jit specialization here
   witness input.json output.json [params]-> evaluate witness, write
                                             public outputs + verdict
+  witnessfull input.json out.wtns [params]-> export the FULL canonical
+                                            witness vector (every signal)
+                                            as a snarkjs .wtns container
+                                            + .sym.json name sidecar, and
+                                            re-verify every residual from
+                                            the exported vector alone
+                                            (reference witness artifact:
+                                            actions.js:132-146)
   check   input.json [params]            -> constraint verdict only
   trace   input.json [params] [signal]   -> printSignals equivalent:
                                             dump the named-signal catalog
@@ -166,6 +174,33 @@ def cmd_witness(args):
           f"hashGlobalInputs={out['hash_global_inputs']}")
 
 
+def cmd_witnessfull(args):
+    """Export the full signal-indexed witness vector (the prover handoff
+    artifact the reference writes at actions.js:132-146) and prove its
+    validity by re-checking every residual from the exported file alone."""
+    from circuits_tpu.engine.witness import RollupEngine
+    from circuits_tpu.engine import witness_vector as wv
+    from circuits_tpu.r1cs.witness_check import verify_witness
+
+    inp = _parse(json.loads(Path(args[0]).read_text()))
+    out_path = Path(args[1])
+    params = _load_params(args, 2)
+    eng = RollupEngine(*params)
+    t0 = time.time()
+    names, values = wv.export_witness(eng, inp)
+    dt = time.time() - t0
+    sym_path = out_path.with_suffix(out_path.suffix + ".sym.json")
+    wv.write_wtns(out_path, values)
+    wv.write_sym(sym_path, names)
+    loaded = wv.load_witness(out_path, sym_path)
+    res = verify_witness(loaded, *params)
+    print(f"wrote {out_path} ({len(values)} signals, {dt:.3f}s) + "
+          f"{sym_path.name}")
+    print(f"re-verified from file: {res['n_checked']} relations, "
+          f"{'ALL SATISFIED' if res['ok'] else 'FAILURES: ' + str(res['failures'][:5])}")
+    sys.exit(0 if res["ok"] else 1)
+
+
 def cmd_check(args):
     from circuits_tpu.engine.witness import RollupEngine
 
@@ -221,6 +256,7 @@ def main(argv=None):
     fn = {"create": cmd_create, "compile": cmd_compile,
           "compilewitness": cmd_compile,
           "input": cmd_input, "witness": cmd_witness,
+          "witnessfull": cmd_witnessfull,
           "check": cmd_check, "trace": cmd_trace, "audit": cmd_audit,
           "zkey": cmd_out_of_scope("zkey"),
           "solidity": cmd_out_of_scope("solidity")}.get(verb)

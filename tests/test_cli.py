@@ -47,5 +47,15 @@ def test_cli_pipeline(workdir, capsys):
     cli.main(["audit"])
     assert "audit: OK" in capsys.readouterr().out
 
+    # witnessfull: export the full vector, self-verifies from file alone
+    with pytest.raises(SystemExit) as e:
+        cli.main(["witnessfull", str(inp), str(workdir / "full.wtns")]
+                 + PARAMS)
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "ALL SATISFIED" in out
+    assert (workdir / "full.wtns").exists()
+    assert (workdir / "full.wtns.sym.json").exists()
+
     with pytest.raises(SystemExit):
         cli.main(["zkey"])

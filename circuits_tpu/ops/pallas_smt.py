@@ -41,11 +41,15 @@ def _sel(m, a, b):
 
 
 def chain_body(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, consts,
-               *, n: int, t: int, rf: int, rp: int, sparse: bool):
+               *, n: int, t: int, rf: int, rp: int, sparse: bool,
+               permute=None):
     """The SMT chain kernel body, ref-agnostic: every argument may be a
     pallas VMEM ref OR a plain jnp array (reads use only [...] / [i]
     indexing), so the CPU CI suite executes the EXACT hot-kernel code
     without a TPU (tests/test_kernel_bodies.py — VERDICT r4 task #8).
+    `permute` overrides the in-kernel Poseidon permutation (the CPU suite
+    injects the FFI-backed one to keep the XLA:CPU compile tractable —
+    the in-kernel permutation rounds have their own round-level tests).
     Returns (old_child, new_child), each (16, S, 128)."""
     old1 = old1_ref[...]
     new1 = new1_ref[...]
@@ -53,7 +57,9 @@ def chain_body(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, consts,
     half = rf // 2
     s_sub = old1.shape[-2]
 
-    if sparse:
+    if permute is not None:
+        run_permute = permute
+    elif sparse:
         cf_ref, d_ref, e_ref, m_ref, ps_ref, sr_ref, sc_ref = consts
 
         def run_permute(state):

@@ -105,6 +105,31 @@ def main():
     fn = jax.jit(partial(rollup_main_lanes, n_tx=B, n_levels=NLEV,
                          max_fee_tx=MFT))
 
+    # AOT trace artifact (engine/aot.py pattern): deserializing the
+    # exported StableHLO skips the ~170 s Python trace+Mosaic lowering a
+    # fresh process pays on the axon TPU (measured, SCALING.md §5); the
+    # XLA compile underneath still consults the persistent cache.
+    aot_file = os.environ.get("BENCH_AOT", "")
+    if aot_file:
+        from pathlib import Path
+        from jax import export as jex
+        p = Path(aot_file)
+        if p.exists():
+            fn = jax.jit(jex.deserialize(p.read_bytes()).call)
+            print(f"# loaded AOT trace {p} ({p.stat().st_size // 2**20} "
+                  "MB)", file=sys.stderr)
+        else:
+            checks = [jex.DisabledSafetyCheck.custom_call(t)
+                      for t in ("tpu_custom_call", "fr_mont_mul",
+                                "fr_add", "fr_sub", "fr_pow",
+                                "fr_poseidon", "sha256_blocks")]
+            shapes = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (tiled, tiled_chains))
+            exp = jex.export(fn, disabled_checks=checks)(*shapes)
+            p.write_bytes(exp.serialize())
+            print(f"# wrote AOT trace {p}", file=sys.stderr)
+
     # warmup + verification: device_get (bytes on the host prove the
     # computation ran) and assert the verdict
     t0 = time.time()

@@ -106,10 +106,24 @@ def main():
                          max_fee_tx=MFT))
 
     # AOT trace artifact (engine/aot.py pattern): deserializing the
-    # exported StableHLO skips the ~170 s Python trace+Mosaic lowering a
+    # exported StableHLO skips the ~154 s Python trace+Mosaic lowering a
     # fresh process pays on the axon TPU (measured, SCALING.md §5); the
-    # XLA compile underneath still consults the persistent cache.
+    # XLA compile underneath still consults the persistent cache, so
+    # after one priming run warm compile_s is ~18 s. The default path is
+    # keyed by a hash of the package sources — an artifact can never
+    # replay a stale graph after a code change (it just regenerates).
     aot_file = os.environ.get("BENCH_AOT", "")
+    if not aot_file and jax.devices()[0].platform == "tpu":
+        import hashlib
+        import glob as _glob
+        h = hashlib.sha256()
+        root = os.path.dirname(os.path.abspath(__file__))
+        for f in sorted(_glob.glob(os.path.join(
+                root, "circuits_tpu", "**", "*.py"), recursive=True)):
+            h.update(open(f, "rb").read())
+        aot_file = os.path.join(
+            os.path.expanduser("~/.cache"),
+            f"ctpu_bench_aot_{h.hexdigest()[:16]}_{B}_{NLEV}_{MFT}.bin")
     if aot_file:
         from pathlib import Path
         from jax import export as jex

@@ -40,7 +40,8 @@ def _sel(m, a, b):
     return jnp.where((m != 0)[None], a, b)
 
 
-def chain_body(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, consts,
+def chain_body(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref,
+               new1h_ref, consts,
                *, n: int, t: int, rf: int, rp: int, sparse: bool,
                permute=None):
     """The SMT chain kernel body, ref-agnostic: every argument may be a
@@ -53,6 +54,7 @@ def chain_body(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, consts,
     Returns (old_child, new_child), each (16, S, 128)."""
     old1 = old1_ref[...]
     new1 = new1_ref[...]
+    new1h = new1h_ref[...]   # hoisted new1-pair hash (one per lane)
     zero = jnp.zeros_like(old1)
     half = rf // 2
     s_sub = old1.shape[-2]
@@ -96,40 +98,40 @@ def chain_body(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, consts,
         orr = _sel(bit, oldc, sib)
         nl = _sel(bit, sib, newc)
         nr = _sel(bit, newc, sib)
-        n1l = _sel(bit, old1, new1)
-        n1r = _sel(bit, new1, old1)
         bl = _sel(bit, zero, newc)
         br = _sel(bit, newc, zero)
-        # 4 hash0 instances fold into the sublane axis: (16, 4S, 128)
-        ls = jnp.concatenate([ol, nl, n1l, bl], axis=-2)
-        rs = jnp.concatenate([orr, nr, n1r, br], axis=-2)
+        # 3 hash0 instances fold into the sublane axis: (16, 3S, 128)
+        # (the new1-pair hash applies at <= 1 level per lane and is
+        # hoisted out of the chain as one batched pre-kernel call —
+        # -25% Poseidon mass in the hottest kernel, round 5)
+        ls = jnp.concatenate([ol, nl, bl], axis=-2)
+        rs = jnp.concatenate([orr, nr, br], axis=-2)
         state = jnp.stack([jnp.zeros_like(ls),
                            _mm_const(ls, _R2_LIMBS),
                            _mm_const(rs, _R2_LIMBS)])  # mont domain
         state = run_permute(state)
-        h = _mm_const(state[0], _ONE_LIMBS)  # canonical (16, 4S, 128)
+        h = _mm_const(state[0], _ONE_LIMBS)  # canonical (16, 3S, 128)
         oh = h[:, 0 * s_sub:1 * s_sub]
         nh = h[:, 1 * s_sub:2 * s_sub]
-        n1h = h[:, 2 * s_sub:3 * s_sub]
-        bh = h[:, 3 * s_sub:4 * s_sub]
+        bh = h[:, 2 * s_sub:3 * s_sub]
         top, old0, bot, new1m, upd = (msk[j] for j in range(5))
         old_up = _sel(top, oh, zero)
         old_up = _sel(bot | new1m | upd, old1, old_up)
         new_up = _sel(top, nh, zero)
         new_up = _sel(bot, bh, new_up)
-        new_up = _sel(new1m, n1h, new_up)
+        new_up = _sel(new1m, new1h, new_up)
         new_up = _sel(old0 | upd, new1, new_up)
         return (old_up, new_up)
 
     return jax.lax.fori_loop(0, n, level, (zero, zero))
 
 
-def _kernel(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, *refs,
-            n: int, t: int, rf: int, rp: int, sparse: bool):
+def _kernel(sib_ref, bits_ref, masks_ref, old1_ref, new1_ref, new1h_ref,
+            *refs, n: int, t: int, rf: int, rp: int, sparse: bool):
     out_ref = refs[-1]
     oldc, newc = chain_body(sib_ref, bits_ref, masks_ref, old1_ref,
-                            new1_ref, refs[:-1], n=n, t=t, rf=rf, rp=rp,
-                            sparse=sparse)
+                            new1_ref, new1h_ref, refs[:-1], n=n, t=t,
+                            rf=rf, rp=rp, sparse=sparse)
     out_ref[0] = oldc
     out_ref[1] = newc
 
@@ -148,7 +150,7 @@ def _compiled(n: int, s: int, nb: int, interpret: bool):
         grid=(nb,),
         in_specs=[lev((n, N_LIMBS, s, LANES)), lev((n, s, LANES)),
                   lev((n, 5, s, LANES)), lev((N_LIMBS, s, LANES)),
-                  lev((N_LIMBS, s, LANES))] +
+                  lev((N_LIMBS, s, LANES)), lev((N_LIMBS, s, LANES))] +
                  [_const_spec(c) for c in consts],
         out_specs=lev((2, N_LIMBS, s, LANES)),
         out_shape=jax.ShapeDtypeStruct((2, N_LIMBS, nb * s, LANES),
@@ -160,14 +162,15 @@ def _compiled(n: int, s: int, nb: int, interpret: bool):
     return jax.jit(lambda *a: call(*a, *consts))
 
 
-def processor_chain(sib_f, bits_f, masks_f, old1leaf, new1leaf, *,
+def processor_chain(sib_f, bits_f, masks_f, old1leaf, new1leaf, new1h, *,
                     interpret: bool = False):
     """Bottom-up SMT hash chains, fused.
 
     sib_f (n, 16, B) canonical siblings, bits_f (n, B) 0/1, masks_f
     (n, 5, B) 0/1 state-machine masks — all already flipped bottom-up;
-    old1leaf/new1leaf (16, B) canonical. Returns (old_child, new_child)
-    each (16, B)."""
+    old1leaf/new1leaf/new1h (16, B) canonical (new1h = the hoisted
+    branch-level pair hash). Returns (old_child, new_child) each
+    (16, B)."""
     n, _, b = sib_f.shape
     su, nb = _block_shape(b)
     bp = nb * su * LANES
@@ -181,6 +184,7 @@ def processor_chain(sib_f, bits_f, masks_f, old1leaf, new1leaf, *,
 
     out = _compiled(n, su, nb, interpret)(
         prep(sib_f), prep(bits_f.astype(jnp.uint32)),
-        prep(masks_f.astype(jnp.uint32)), prep(old1leaf), prep(new1leaf))
+        prep(masks_f.astype(jnp.uint32)), prep(old1leaf), prep(new1leaf),
+        prep(new1h))
     out = out.reshape(2, N_LIMBS, bp)[:, :, :b]
     return out[0], out[1]

@@ -183,7 +183,7 @@ def _run_chain_body(cases, n, permute):
     sib_np = np.zeros((n, 16, B), dtype=np.uint32)
     bits_np = np.zeros((n, B), dtype=np.uint32)
     masks_np = np.zeros((n, 5, B), dtype=np.uint32)
-    old1, new1 = [], []
+    old1, new1, new1h = [], [], []
     for j, cs in enumerate(cases):
         st = _state_machine(cs["siblings"], cs["old_key"], cs["new_key"],
                             cs["is_old0"], cs["fnc0"], cs["fnc1"], n)
@@ -191,8 +191,16 @@ def _run_chain_body(cases, n, permute):
             sib_np[n - 1 - i, :, j] = to_limbs(cs["siblings"][i])
             bits_np[n - 1 - i, j] = (cs["new_key"] >> i) & 1
             masks_np[n - 1 - i, :, j] = [int(v) for v in st[i]]
-        old1.append(poseidon_py([cs["old_key"], cs["old_value"], 1]))
-        new1.append(poseidon_py([cs["new_key"], cs["new_value"], 1]))
+        o1 = poseidon_py([cs["old_key"], cs["old_value"], 1])
+        n1 = poseidon_py([cs["new_key"], cs["new_value"], 1])
+        old1.append(o1)
+        new1.append(n1)
+        # hoisted branch-level pair hash (bit at the new1 level)
+        b1 = 0
+        for i in range(n):
+            if st[i][3]:
+                b1 = (cs["new_key"] >> i) & 1
+        new1h.append(poseidon_py([n1, o1] if b1 == 0 else [o1, n1]))
 
     _, _, rf, rp = pp._np_constants(3)
     if permute is None:
@@ -203,14 +211,14 @@ def _run_chain_body(cases, n, permute):
         sparse = False
     # eager-level call: lax.fori_loop still compiles the (small) level
     # body, but no monolithic jit graph is built
-    run = lambda sib, bits, masks, o1, n1: ps.chain_body(  # noqa: E731
-        sib, bits, masks, o1, n1, consts, n=n, t=3, rf=rf, rp=rp,
+    run = lambda sib, bits, masks, o1, n1, n1h: ps.chain_body(  # noqa: E731
+        sib, bits, masks, o1, n1, n1h, consts, n=n, t=3, rf=rf, rp=rp,
         sparse=sparse, permute=permute)
     oldc, newc = run(
         jnp.asarray(sib_np.reshape(n, 16, S, LANES)),
         jnp.asarray(bits_np.reshape(n, S, LANES)),
         jnp.asarray(masks_np.reshape(n, 5, S, LANES)),
-        pack_lane(old1), pack_lane(new1))
+        pack_lane(old1), pack_lane(new1), pack_lane(new1h))
     return unpack_lane(oldc), unpack_lane(newc)
 
 

@@ -333,3 +333,29 @@ class WithdrawEngine:
                          pk("balance"), pk("idx"), sign, pk("ay"), sib)
         vals = [int(v) for v in fr.unpack_np(np.asarray(h))]
         return vals, np.asarray(ok)
+
+    def run_debug(self, inputs: list[dict]):
+        """Like run() but also returns the intermediates dict (the
+        witness-vector export path)."""
+        if not hasattr(self, "_fn_debug"):
+            self._fn_debug = jax.jit(partial(withdraw, self.n_levels,
+                                             debug=True))
+        n = len(inputs)
+        L = self.n_levels + 1
+
+        def pk(key):
+            return fr.pack([int(str(d[key]), 0) if isinstance(d[key], str)
+                            else int(d[key]) for d in inputs])
+
+        sib_rows = []
+        for d in inputs:
+            s = list(d["siblingsState"])
+            sib_rows.append(s + [0] * (L - len(s)))
+        sib = jnp.asarray(np.moveaxis(fr.pack_np(sib_rows), 2, 0))
+        sign = jnp.asarray(np.array([int(d["sign"]) for d in inputs],
+                                    dtype=np.uint32))
+        h, ok, dbg = self._fn_debug(
+            pk("rootExit"), pk("ethAddr"), pk("tokenID"), pk("balance"),
+            pk("idx"), sign, pk("ay"), sib)
+        vals = [int(v) for v in fr.unpack_np(np.asarray(h))]
+        return vals, np.asarray(ok), dbg

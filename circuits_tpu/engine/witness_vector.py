@@ -406,3 +406,44 @@ def load_witness(wtns_path: str | Path, sym_path: str | Path) \
     name_to_idx = json.loads(Path(sym_path).read_text())
     assert len(name_to_idx) == len(values)
     return {n: values[i] for n, i in name_to_idx.items()}
+
+
+# ---------------------------------------------------------------------------
+# Withdraw circuit (src/withdraw.circom:21-72)
+# ---------------------------------------------------------------------------
+
+_WD_INPUTS = ["rootExit", "ethAddr", "tokenID", "balance", "idx", "sign",
+              "ay"]
+
+
+def signal_names_withdraw(n_levels: int, n_lanes: int) -> list[str]:
+    """Canonical ordering for a batch of Withdraw(nLevels) instances."""
+    L = n_levels + 1
+    names = ["one"]
+    names += [f"main.hashGlobalInputs[{w}]" for w in range(n_lanes)]
+    for w in range(n_lanes):
+        names += [f"main.{k}[{w}]" for k in _WD_INPUTS]
+        names += [f"main.siblingsState[{w}][{k}]" for k in range(L)]
+    names += [f"main.stateHash[{w}]" for w in range(n_lanes)]
+    return names
+
+
+def export_witness_withdraw(engine, inputs: list[dict]) \
+        -> tuple[list[str], list[int]]:
+    """Full witness vector for a batch of withdrawal lanes. `engine` is
+    a WithdrawEngine; `inputs` as WithdrawEngine.run takes them."""
+    n_levels = engine.n_levels
+    L = n_levels + 1
+    h_vals, ok, dbg = engine.run_debug(inputs)
+    assert bool(np.asarray(ok).all()), "invalid withdraw witness"
+    values: list[int] = [1]
+    values += h_vals
+    for d in inputs:
+        for k in _WD_INPUTS:
+            values.append(int(d[k]))
+        sibs = list(d["siblingsState"])
+        values += [int(s) for s in sibs] + [0] * (L - len(sibs))
+    values += _ints(dbg["state_hash"])
+    names = signal_names_withdraw(n_levels, len(inputs))
+    assert len(names) == len(values)
+    return names, values

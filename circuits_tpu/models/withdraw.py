@@ -16,8 +16,9 @@ from .hash_inputs import hash_inputs_withdrawal
 
 
 def withdraw(n_levels: int, root_exit, eth_addr, token_id, balance, idx,
-             sign, ay, siblings_state):
-    """Returns (hash_global_inputs (16, B), ok (B,))."""
+             sign, ay, siblings_state, debug: bool = False):
+    """Returns (hash_global_inputs (16, B), ok (B,)); with debug=True a
+    third intermediates dict (witness-vector export)."""
     bshape = idx.shape[1:]
     state = hash_state(token_id, fr.zeros(bshape), sign, balance, ay,
                        eth_addr)
@@ -28,4 +29,6 @@ def withdraw(n_levels: int, root_exit, eth_addr, token_id, balance, idx,
                       idx, state, zero_flag)
     h, h_ok = hash_inputs_withdrawal(n_levels, root_exit, eth_addr,
                                      token_id, balance, idx)
+    if debug:
+        return h, ok & h_ok, dict(state_hash=state)
     return h, ok & h_ok

@@ -671,3 +671,56 @@ def verify_witness(w: dict[str, int], n_tx: int, n_levels: int,
 
     return dict(ok=not c.failures, failures=c.failures,
                 n_checked=c.n_checked)
+
+
+def verify_withdraw_witness(w: dict[str, int], n_levels: int,
+                            n_lanes: int) -> dict:
+    """Re-check every Withdraw(nLevels) relation from the exported
+    vector alone (src/withdraw.circom:21-72): leaf HashState, SMT
+    inclusion proof against rootExit, idx range, SHA256 of the public
+    fields."""
+    L = n_levels + 1
+    c = _Check()
+    c.eq(w["one"], 1, "one")
+    for i in range(n_lanes):
+        root = w[f"main.rootExit[{i}]"]
+        eth = w[f"main.ethAddr[{i}]"]
+        tok = w[f"main.tokenID[{i}]"]
+        bal = w[f"main.balance[{i}]"]
+        idx = w[f"main.idx[{i}]"]
+        sign = w[f"main.sign[{i}]"]
+        ay = w[f"main.ay[{i}]"]
+        sibs = [w[f"main.siblingsState[{i}][{k}]"] for k in range(L)]
+        leaf = _hash_state(tok, 0, sign, bal, ay, eth)
+        c.eq(w[f"main.stateHash[{i}]"], leaf, f"stateHash[{i}]")
+        # inclusion proof against rootExit (circomlib SMTVerifier fnc=0)
+        co = _smt_inclusion_root(sibs, idx, leaf)
+        c.eq(co, root, f"SMTVerifier root[{i}] (withdraw.circom:47-58)")
+        c.ok(sibs[-1] == 0, f"top sibling zero[{i}]")
+        c.ok(idx < (1 << n_levels), f"idx range[{i}] (withdraw:130)")
+        pre = (_be(root, 256) + _be(eth, 160) + _be(tok, 32)
+               + _be(bal, 192) + _be(idx, MAX_NLEVELS))
+        c.eq(w[f"main.hashGlobalInputs[{i}]"], sha256_bits_py(pre) % P,
+             f"hashGlobalInputs[{i}] (withdraw.circom:132-175)")
+    return dict(ok=not c.failures, failures=c.failures,
+                n_checked=c.n_checked)
+
+
+def _smt_inclusion_root(siblings, key, value) -> int:
+    """Root of an inclusion proof: the leaf H1(key, value) sits at the
+    SMTLevIns level, hashed up through the non-empty sibling levels
+    (LSB-first key bits)."""
+    n = len(siblings)
+    isz = [s == 0 for s in siblings]
+    lev_ins, suffix = [], True
+    for i in range(n - 1, -1, -1):
+        suffix = suffix and isz[i]
+        lev_ins.append(suffix and (i == 0 or not isz[i - 1]))
+    lev_ins.reverse()
+    level = lev_ins.index(True)
+    node = poseidon_py([key, value, 1])
+    for i in range(level - 1, -1, -1):
+        bit = (key >> i) & 1
+        node = poseidon_py([siblings[i], node] if bit
+                           else [node, siblings[i]])
+    return node

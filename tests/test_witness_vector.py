@@ -175,6 +175,48 @@ def test_wtns_roundtrip(tmp_path, exported):
     assert loaded == dict(zip(names, values))
 
 
+def test_withdraw_witness_vector(batches):
+    """Full witness vector for the Withdraw circuit: export a real
+    exit-proof batch, re-verify every relation from the vector alone,
+    and detect tampering."""
+    from circuits_tpu.engine.witness import WithdrawEngine
+    from circuits_tpu.r1cs.witness_check import verify_withdraw_witness
+    from circuits_tpu.builder.rollup_db import RollupDB
+
+    db = RollupDB()
+    bb = db.build_batch(NTX, NLEV, ML1, MFT)
+    deposit(bb, a1, 1, 2000)
+    bb.build()
+    db.consolidate(bb)
+    bb2 = db.build_batch(NTX, NLEV, ML1, MFT)
+    tx = dict(fromIdx=256, toIdx=1, tokenID=1, amount=400, userFee=0,
+              nonce=0, onChain=0)
+    a1.sign_tx(tx)
+    bb2.add_tx(tx)
+    bb2.build()
+    db.consolidate(bb2)
+
+    info = db.get_exit_tree_info(256, db.last_batch)
+    st = info["state"]
+    winp = dict(rootExit=info["root"], ethAddr=st["ethAddr"],
+                tokenID=st["tokenID"], balance=st["balance"], idx=256,
+                sign=st["sign"], ay=st["ay"],
+                siblingsState=info["siblings"])
+    eng = WithdrawEngine(NLEV)
+    names, values = wv.export_witness_withdraw(eng, [winp])
+    assert names == wv.signal_names_withdraw(NLEV, 1)
+    w = dict(zip(names, values))
+    res = verify_withdraw_witness(w, NLEV, 1)
+    assert res["ok"], res["failures"][:5]
+
+    w2 = dict(w)
+    w2["main.balance[0]"] += 1
+    assert not verify_withdraw_witness(w2, NLEV, 1)["ok"]
+    w3 = dict(w)
+    w3["main.stateHash[0]"] ^= 1
+    assert not verify_withdraw_witness(w3, NLEV, 1)["ok"]
+
+
 def test_tamper_detected(exported):
     names, values = exported[1]
     w = dict(zip(names, values))

@@ -256,3 +256,26 @@ def test_l1_force_transfer_edges(engine):
     bb5.add_tx(dict(base, amount=0))
     bb5.build()
     assert_batch(engine, bb5)
+
+
+def test_l1_force_exit_eth_addr_mismatch(engine):
+    """rollup-main-L1.test.js:455-465: forceExit whose fromEthAddr does
+    not match the leaf's ethAddr — amount nullified, but the exit leaf
+    is still created with 0 balance."""
+    db = RollupDB()
+    bb = db.build_batch(NTX, NLEV, ML1, MFT)
+    deposit(bb, a1, 1, 1000)
+    deposit(bb, a2, 2, 1000)
+    bb.build()
+    db.consolidate(bb)
+
+    bb2 = db.build_batch(NTX, NLEV, ML1, MFT)
+    bb2.add_tx(dict(fromIdx=256, loadAmountF=0, tokenID=1,
+                    fromBjjCompressed=0, fromEthAddr=a2.ethAddr,
+                    toIdx=Constants.exitIdx, amount=100, userFee=0,
+                    onChain=True))
+    bb2.build()
+    assert_batch(engine, bb2)
+    # amount nullified: sender balance untouched, 0-balance exit leaf
+    assert bb2.accounts[256].balance == 1000
+    assert bb2.exit_accounts[256].balance == 0

@@ -177,6 +177,30 @@ def test_balance_updater_l1_underflow_degrades():
     assert res["is_amount_nullified"]
 
 
+def test_balance_updater_nullify_load_amount():
+    # reference vectors test/balance-updater.test.js:87-113: only the
+    # load is nullified; the transfer amount still settles and the
+    # amount-nullified flag stays low.
+    res, ok = _run_bal(100, 200, 50, 50, 200, on_chain=1, nul_load=1)
+    assert ok
+    assert res["new_balance_sender"] == 100 - 50
+    assert res["new_balance_receiver"] == 200 + 50
+    assert res["fee2_charge"] == 0
+    assert not res["is_amount_nullified"]
+    assert res["is_p2_nop"]
+
+
+def test_balance_updater_nullify_amount():
+    # test/balance-updater.test.js:115-141: the transfer amount is
+    # nullified but the deposit load still lands on the sender.
+    res, ok = _run_bal(100, 200, 500, 50, 200, on_chain=1, nul_amt=1)
+    assert ok
+    assert res["new_balance_sender"] == 100 + 50
+    assert res["new_balance_receiver"] == 200
+    assert res["fee2_charge"] == 0
+    assert res["is_amount_nullified"]
+
+
 def test_balance_updater_nullify():
     res, ok = _run_bal(500, 10, 100, 200, 0, on_chain=1, nul_load=1,
                        nul_amt=1)
@@ -278,6 +302,98 @@ def test_decode_tx_roundtrip():
     # sigL2Hash matches the host oracle
     sig_tx = dict(tx, toEthAddr=0x99, toBjjAy=7, maxNumBatch=0)
     assert get("sig_l2_hash") == tx_utils.build_hash_sig(sig_tx)
+
+
+def test_decode_tx_incremental_idx_and_new_account():
+    """test/decode-tx.test.js:208-269: outIdx increments exactly when an
+    L1 tx creates an account; auxFromIdx must match it; newAccount must
+    equal (onChain & fromIdx==0)."""
+    from circuits_tpu.models.decode_tx import decode_tx
+
+    cd = tx_utils.build_tx_compressed_data(dict(chainID=0))
+    zeros256 = jnp.zeros((256, 1), dtype=jnp.uint32)
+
+    def run(on_chain, new_account, aux_from, in_idx):
+        out, ok = decode_tx(
+            16, flags([1]), F([cd]), F([0]), F([0]), F([0]), F([0]),
+            F([0]), F([0]), F([0]), F([0]), zeros256, F([0]),
+            F([0]), F([6]), flags([on_chain]), flags([new_account]),
+            F([aux_from]), F([0]), F([in_idx]))
+        return (int(fr.unpack_np(np.asarray(out["out_idx"]))[0]),
+                bool(np.asarray(ok)[0]))
+
+    out_idx, ok = run(1, 1, 3, 2)
+    assert ok and out_idx == 3       # correct incremental: outIdx=inIdx+1
+    _, ok = run(1, 1, 3, 5)
+    assert not ok                    # auxFromIdx != inIdx+1
+    _, ok = run(1, 0, 3, 5)
+    assert not ok                    # fromIdx==0 on-chain forces newAccount
+    out_idx, ok = run(0, 0, 3, 5)
+    assert ok and out_idx == 5       # L2: outIdx = inIdx
+
+
+def _bits_to_int(bits):
+    """Device big-endian bit column (nbits, 1) -> int."""
+    arr = np.asarray(bits)[:, 0]
+    return int("".join(str(int(b)) for b in arr), 2)
+
+
+def test_decode_tx_l1l2_tx_data():
+    """test/decode-tx.test.js:271-367: the data-availability bytes of an
+    L2 tx match the host encoder (fromIdx | finalToIdx | amountF | fee),
+    including auxToIdx selection when toIdx == 0."""
+    from circuits_tpu.models.decode_tx import decode_tx
+
+    for to_idx, aux_to in [(257, 0), (0, 260)]:
+        tx = dict(chainID=5, fromIdx=256, toIdx=to_idx, tokenID=3,
+                  nonce=7, userFee=126, amount=1000)
+        cd = tx_utils.build_tx_compressed_data(tx)
+        out, ok = decode_tx(
+            16, flags([0]), F([cd]), F([0]),
+            F([float40.fix2float(1000)]), F([0]), F([0]),
+            F([0]), F([0]), F([0]), F([0]),
+            jnp.zeros((256, 1), dtype=jnp.uint32), F([0]),
+            F([5]), F([0]), flags([0]), flags([0]), F([0]),
+            F([aux_to]), F([300]))
+        assert bool(np.asarray(ok)[0])
+        expected = int(tx_utils.encode_l2_tx(
+            dict(tx, auxToIdx=aux_to), 16), 16)
+        assert _bits_to_int(out["l1l2_tx_data"]) == expected, to_idx
+
+
+def test_decode_tx_l1_tx_full_data():
+    """test/decode-tx.test.js:369-449: the 624-bit L1TxFullData matches
+    the host encoder for an L1 tx and is all-zero for an L2 tx."""
+    from circuits_tpu.models.decode_tx import decode_tx
+
+    bjj = 0x2AB1C5F37D0099887766554433221100FFEEDDCCBBAA99887766554433221100
+    bjj_bits = jnp.asarray(
+        np.array([[(bjj >> i) & 1] for i in range(256)], dtype=np.uint32))
+    eth, load, tok, to_idx = 0x7E5F4552091A69125D5DFCB7B8C2659029395BDF, 700, 3, 257
+    tx = dict(chainID=0, fromIdx=0, toIdx=to_idx, tokenID=tok, amount=0)
+    cd = tx_utils.build_tx_compressed_data(tx)
+    out, ok = decode_tx(
+        16, flags([1]), F([cd]), F([0]), F([0]), F([0]), F([0]),
+        F([0]), F([0]), F([0]), F([eth]), bjj_bits,
+        F([float40.fix2float(load)]),
+        F([0]), F([0]), flags([1]), flags([1]), F([3]), F([0]), F([2]))
+    assert bool(np.asarray(ok)[0])
+    expected = int(tx_utils.encode_l1_tx_full(
+        dict(fromEthAddr=eth, fromBjjCompressed=bjj, fromIdx=0,
+             loadAmountF=float40.fix2float(load), amount=0,
+             tokenID=tok, toIdx=to_idx)), 16)
+    assert _bits_to_int(out["l1_tx_full_data"]) == expected
+
+    # L2 tx: the whole word is masked to zero (decode-tx.circom:285-324)
+    tx2 = dict(chainID=5, fromIdx=256, toIdx=257, tokenID=3, amount=1000)
+    cd2 = tx_utils.build_tx_compressed_data(tx2)
+    out2, ok2 = decode_tx(
+        16, flags([0]), F([cd2]), F([0]), F([float40.fix2float(1000)]),
+        F([0]), F([0]), F([0]), F([0]), F([0]), F([eth]), bjj_bits,
+        F([float40.fix2float(load)]),
+        F([5]), F([0]), flags([0]), flags([0]), F([0]), F([0]), F([300]))
+    assert bool(np.asarray(ok2)[0])
+    assert _bits_to_int(out2["l1_tx_full_data"]) == 0
 
 
 def test_decode_tx_l1_before_l2_ordering():

@@ -47,6 +47,86 @@ def test_tx_states_decision_table():
               amount=0, newExit=0, loadAmount=500, newAccount=0, onChain=1),
          dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=0, nop=0,
               key1=256, p1=(0, 1))),
+        # rollup-tx-states.test.js:81-129 — INSERT on p1 via auxFromIdx,
+        # UPDATE on p2 via toIdx; tokenID2 mismatch nullifies the amount
+        ("createAccountDepositTransfer",
+         dict(fromIdx=0, toIdx=257, toEthAddr=0, auxFromIdx=256,
+              auxToIdx=0, amount=10, newExit=0, loadAmount=30,
+              newAccount=1, onChain=1, fromEthAddr=2, ethAddr1=2,
+              tokenID=3, tokenID1=3, tokenID2=3),
+         dict(isP1Insert=1, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=256, key2=257, p1=(1, 0), p2=(0, 1),
+              nullifyLoadAmount=0, nullifyAmount=0)),
+        ("createAccountDepositTransfer/tokenID2-mismatch",
+         dict(fromIdx=0, toIdx=257, toEthAddr=0, auxFromIdx=256,
+              auxToIdx=0, amount=10, newExit=0, loadAmount=30,
+              newAccount=1, onChain=1, fromEthAddr=2, ethAddr1=2,
+              tokenID=3, tokenID1=3, tokenID2=4),
+         dict(isP1Insert=1, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=256, key2=257, nullifyLoadAmount=0, nullifyAmount=1)),
+        # rollup-tx-states.test.js:180-244 — UPDATE/UPDATE; tokenID1
+        # mismatch nullifies both the load and the amount, ethAddr1 or
+        # tokenID2 mismatch only the amount
+        ("depositTransfer",
+         dict(fromIdx=256, toIdx=0, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
+              amount=30, newExit=0, loadAmount=30, newAccount=0,
+              onChain=1, fromEthAddr=2, ethAddr1=2, tokenID=3, tokenID1=3,
+              tokenID2=3),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=256, key2=0, p1=(0, 1), p2=(0, 1),
+              nullifyLoadAmount=0, nullifyAmount=0)),
+        ("depositTransfer/tokenID1-mismatch",
+         dict(fromIdx=256, toIdx=0, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
+              amount=30, newExit=0, loadAmount=30, newAccount=0,
+              onChain=1, fromEthAddr=2, ethAddr1=2, tokenID=3, tokenID1=4,
+              tokenID2=3),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=256, nullifyLoadAmount=1, nullifyAmount=1)),
+        ("depositTransfer/ethAddr1-mismatch",
+         dict(fromIdx=256, toIdx=0, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
+              amount=30, newExit=0, loadAmount=30, newAccount=0,
+              onChain=1, fromEthAddr=2, ethAddr1=4, tokenID=3, tokenID1=3,
+              tokenID2=3),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=256, nullifyLoadAmount=0, nullifyAmount=1)),
+        ("depositTransfer/tokenID2-mismatch",
+         dict(fromIdx=256, toIdx=0, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
+              amount=30, newExit=0, loadAmount=30, newAccount=0,
+              onChain=1, fromEthAddr=2, ethAddr1=2, tokenID=3, tokenID1=3,
+              tokenID2=4),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=256, nullifyLoadAmount=0, nullifyAmount=1)),
+        # rollup-tx-states.test.js:246-311 — forceTransfer UPDATE/UPDATE;
+        # any of ethAddr1/tokenID1/tokenID2 mismatch nullifies the amount
+        ("forceTransfer",
+         dict(fromIdx=256, toIdx=0, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
+              amount=30, newExit=0, loadAmount=0, newAccount=0, onChain=1,
+              fromEthAddr=2, ethAddr1=2, tokenID=3, tokenID1=3,
+              tokenID2=3),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=256, key2=0, p1=(0, 1), p2=(0, 1),
+              nullifyLoadAmount=0, nullifyAmount=0)),
+        ("forceTransfer/ethAddr1-mismatch",
+         dict(fromIdx=256, toIdx=0, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
+              amount=30, newExit=0, loadAmount=0, newAccount=0, onChain=1,
+              fromEthAddr=2, ethAddr1=4, tokenID=3, tokenID1=3,
+              tokenID2=3),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=256, nullifyLoadAmount=0, nullifyAmount=1)),
+        ("forceTransfer/tokenID1-mismatch",
+         dict(fromIdx=256, toIdx=0, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
+              amount=30, newExit=0, loadAmount=0, newAccount=0, onChain=1,
+              fromEthAddr=2, ethAddr1=2, tokenID=3, tokenID1=4,
+              tokenID2=3),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=256, nullifyLoadAmount=0, nullifyAmount=1)),
+        ("forceTransfer/tokenID2-mismatch",
+         dict(fromIdx=256, toIdx=0, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
+              amount=30, newExit=0, loadAmount=0, newAccount=0, onChain=1,
+              fromEthAddr=2, ethAddr1=2, tokenID=3, tokenID1=3,
+              tokenID2=2),
+         dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=0, nop=0,
+              key1=256, nullifyLoadAmount=0, nullifyAmount=1)),
         ("forceExit",
          dict(fromIdx=256, toIdx=1, toEthAddr=0, auxFromIdx=0, auxToIdx=0,
               amount=100, newExit=1, loadAmount=0, newAccount=0, onChain=1),
@@ -81,17 +161,21 @@ def test_tx_states_decision_table():
          dict(isP1Insert=0, isP2Insert=0, isExit=0, verifySign=0, nop=1,
               key1=0, p1=(0, 0), p2=(0, 0))),
     ]
+    defaults = dict(fromEthAddr=0, ethAddr1=0, tokenID=1, tokenID1=1,
+                    tokenID2=1)
     ins = {k: F([r[1][k] for r in rows]) for k in
            ["fromIdx", "toIdx", "toEthAddr", "auxFromIdx", "auxToIdx",
             "amount", "loadAmount"]}
+    onp = {k: F([r[1].get(k, defaults[k]) for r in rows]) for k in
+           ["fromEthAddr", "ethAddr1", "tokenID", "tokenID1", "tokenID2"]}
     fl = {k: flags([r[1][k] for r in rows]) for k in
           ["newExit", "newAccount", "onChain"]}
     out, ok = rollup_tx_states(
         ins["fromIdx"], ins["toIdx"], ins["toEthAddr"], ins["auxFromIdx"],
         ins["auxToIdx"], ins["amount"], fl["newExit"], ins["loadAmount"],
         fl["newAccount"], fl["onChain"],
-        F([0] * len(rows)), F([0] * len(rows)),
-        F([1] * len(rows)), F([1] * len(rows)), F([1] * len(rows)))
+        onp["fromEthAddr"], onp["ethAddr1"],
+        onp["tokenID"], onp["tokenID1"], onp["tokenID2"])
     assert bool(np.all(np.asarray(ok)))
     key1 = fr.unpack_np(np.asarray(out["key1"]))
     key2 = fr.unpack_np(np.asarray(out["key2"]))
@@ -113,11 +197,20 @@ def test_tx_states_decision_table():
             assert (bool(np.asarray(out["p1_fnc0"])[i]),
                     bool(np.asarray(out["p1_fnc1"])[i])) == \
                 tuple(map(bool, exp["p1"])), name
+        if "p2" in exp:
+            assert (bool(np.asarray(out["p2_fnc0"])[i]),
+                    bool(np.asarray(out["p2_fnc1"])[i])) == \
+                tuple(map(bool, exp["p2"])), name
         if "checkToEthAddr" in exp:
             assert bool(np.asarray(out["check_to_eth_addr"])[i]) == bool(
                 exp["checkToEthAddr"]), name
             assert bool(np.asarray(out["check_to_bjj"])[i]) == bool(
                 exp["checkToBjj"]), name
+        if "nullifyLoadAmount" in exp:
+            assert bool(np.asarray(out["nullify_load_amount"])[i]) == bool(
+                exp["nullifyLoadAmount"]), name
+            assert bool(np.asarray(out["nullify_amount"])[i]) == bool(
+                exp["nullifyAmount"]), name
 
 
 def test_tx_states_l2_loadamount_fails():

@@ -64,6 +64,30 @@ def main():
     check_sha256_xla_path()
     print("sha256 XLA scan path: matches hashlib")
 
+    # pallas SHA-256 rounds kernel at the production chain length
+    import hashlib
+
+    import jax.numpy as jnp
+
+    from circuits_tpu.ops import sha256 as sha_mod
+
+    nbits = 420752
+    msg = rng.integers(0, 256, size=nbits // 8).astype(np.uint8)
+    bits = jnp.asarray(np.unpackbits(msg)[:nbits]
+                       .reshape(nbits, 1).astype(np.uint32))
+    prev = sha_mod._BACKEND
+    sha_mod._BACKEND = "pallas"
+    try:
+        out = np.asarray(jax.jit(
+            lambda b: sha_mod.sha256_bits(b))(bits))[:, 0]
+    finally:
+        sha_mod._BACKEND = prev
+    expect = np.unpackbits(np.frombuffer(
+        hashlib.sha256(msg.tobytes()).digest(), dtype=np.uint8))
+    assert np.array_equal(out, expect), "pallas sha256 mismatch"
+    print(f"sha256 pallas rounds kernel ({(nbits + 65 + 511) // 512} "
+          f"blocks): matches hashlib")
+
     print("ALL TPU CHECKS PASSED")
 
 
